@@ -1,0 +1,217 @@
+"""Configuration for the TPU stereo VO pipeline.
+
+All numeric defaults reproduce the reference's hard-coded constants exactly
+(see SURVEY.md fidelity ledger):
+
+- FAST threshold 20, nonmax suppression (reference src/feature.cpp:43-45)
+- LK window 21x21, 3 pyramid levels, <=30 iterations, eps 0.01,
+  minEigThreshold 0.001 (reference src/feature.cpp:127-139)
+- replenish below 2000 features (reference src/visualOdometry.cpp:95)
+- bucket size rows/10, 1 feature/bucket, age cap 10
+  (reference src/visualOdometry.cpp:106-108, src/bucket.cpp:16)
+- circular-match closure threshold 0 px Chebyshev
+  (reference src/visualOdometry.cpp:120)
+- PnP-RANSAC: 500 iterations, 0.5 px reprojection, confidence 0.999,
+  warm start (reference src/visualOdometry.cpp:168-172)
+- gates: |euler| < 0.1 rad (reference src/main.cpp:201), translation scale
+  in (0.05, 10) (reference src/utils.cpp:80)
+
+Calibration is read from the same OpenCV-YAML schema as the reference
+(`Camera.fx/fy/cx/cy/bf`, reference src/main.cpp:64-76).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraIntrinsics:
+    """Stereo pinhole calibration, matching reference src/main.cpp:64-76.
+
+    ``bf`` is the value stored in the calibration YAML: it lands in
+    P_right[0, 3], i.e. bf = -fx * baseline (kitti00: bf = -386.1448 ->
+    baseline 0.537 m, calibration/kitti00.yaml:14).
+    """
+
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    bf: float
+    width: int = 0
+    height: int = 0
+
+    @property
+    def baseline(self) -> float:
+        """Stereo baseline in meters (positive)."""
+        return -self.bf / self.fx
+
+    def proj_left(self):
+        """3x4 left projection matrix (reference src/main.cpp:73)."""
+        import numpy as np
+
+        return np.array(
+            [
+                [self.fx, 0.0, self.cx, 0.0],
+                [0.0, self.fy, self.cy, 0.0],
+                [0.0, 0.0, 1.0, 0.0],
+            ],
+            dtype=np.float32,
+        )
+
+    def proj_right(self):
+        """3x4 right projection matrix (reference src/main.cpp:74)."""
+        import numpy as np
+
+        P = self.proj_left()
+        P[0, 3] = self.bf
+        return P
+
+    def intrinsic_matrix(self):
+        """3x3 K matrix (reference src/visualOdometry.cpp:163-165)."""
+        import numpy as np
+
+        return np.array(
+            [
+                [self.fx, 0.0, self.cx],
+                [0.0, self.fy, self.cy],
+                [0.0, 0.0, 1.0],
+            ],
+            dtype=np.float32,
+        )
+
+
+# Values an OpenCV FileStorage YAML may contain that we care about.
+_CALIB_KEYS = ("Camera.fx", "Camera.fy", "Camera.cx", "Camera.cy", "Camera.bf",
+               "Camera.width", "Camera.height", "Camera.fps", "ThDepth")
+
+
+def load_calibration(path: str) -> CameraIntrinsics:
+    """Parse an OpenCV FileStorage calibration YAML.
+
+    Accepts the reference's calibration files verbatim
+    (calibration/{kitti00,zed,rgbd}.yaml) without depending on OpenCV: the
+    files are flat `key: value` documents with an optional `%YAML:1.0` header
+    that stock YAML parsers reject.
+    """
+    values = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            m = re.match(r"^([A-Za-z._0-9]+)\s*:\s*(-?[0-9.eE+-]+)\s*$", line)
+            if m:
+                values[m.group(1)] = float(m.group(2))
+    try:
+        return CameraIntrinsics(
+            fx=values["Camera.fx"],
+            fy=values["Camera.fy"],
+            cx=values["Camera.cx"],
+            cy=values["Camera.cy"],
+            bf=values["Camera.bf"],
+            width=int(values.get("Camera.width", 0)),
+            height=int(values.get("Camera.height", 0)),
+        )
+    except KeyError as e:
+        raise ValueError(f"calibration file {path} missing key {e}") from e
+
+
+@dataclasses.dataclass(frozen=True)
+class VOConfig:
+    """Static pipeline configuration. All shapes derived from here are static
+    so the whole per-frame step compiles to a single XLA executable."""
+
+    # --- image geometry (static; required for fixed shapes) ---
+    height: int = 376
+    width: int = 1241
+
+    # --- FAST detection (reference src/feature.cpp:43-45) ---
+    fast_threshold: int = 20
+    fast_nonmax: bool = True
+
+    # --- bucketing (reference src/visualOdometry.cpp:106-108) ---
+    bucket_rows: int = 10          # bucket_size = height // bucket_rows
+    features_per_bucket: int = 1
+    age_threshold: int = 10        # reference src/bucket.cpp:16
+
+    # --- replenish policy (reference src/visualOdometry.cpp:95) ---
+    replenish_below: int = 2000
+
+    # --- LK tracker (reference src/feature.cpp:127-139) ---
+    lk_window: int = 21
+    lk_levels: int = 3             # maxLevel=3 -> 4 pyramid levels 0..3
+    lk_max_iters: int = 30
+    lk_eps: float = 0.01
+    lk_min_eig_threshold: float = 0.001
+
+    # --- circular matching closure (reference src/visualOdometry.cpp:120) ---
+    circle_threshold: float = 0.0
+
+    # --- PnP-RANSAC (reference src/visualOdometry.cpp:168-172) ---
+    ransac_iterations: int = 500
+    ransac_reproj_threshold: float = 0.5
+    ransac_confidence: float = 0.999
+    ransac_sample_size: int = 6
+    pnp_refine_iters: int = 10
+    use_extrinsic_guess: bool = True
+    mono_rotation: bool = False    # reference src/main.cpp:181 passes false
+
+    # --- gating + integration (src/main.cpp:201, src/utils.cpp:80) ---
+    max_rotation_rad: float = 0.1
+    min_scale: float = 0.05
+    max_scale: float = 10.0
+
+    # --- TPU capacity knobs (no reference counterpart: fixed-shape design) ---
+    # Max tracked features through LK = padded bucket-cell count.
+    # Computed from the grid; this is an upper bound for padding.
+    feature_capacity: int = 512
+
+    # --- precision ---
+    compute_dtype: str = "float32"
+
+    # ------------------------------------------------------------------
+    @property
+    def bucket_size(self) -> int:
+        """Bucket edge in pixels (reference src/visualOdometry.cpp:106)."""
+        return max(1, self.height // self.bucket_rows)
+
+    @property
+    def grid_h(self) -> int:
+        """Number of bucket rows. Reference allocates an aliased extra
+        row/col (src/feature.cpp:221-227, a known bug); we use the exact
+        grid (SURVEY.md fidelity ledger: deliberately fixed)."""
+        return self.height // self.bucket_size
+
+    @property
+    def grid_w(self) -> int:
+        return self.width // self.bucket_size
+
+    @property
+    def num_buckets(self) -> int:
+        return self.grid_h * self.grid_w
+
+    @property
+    def padded_features(self) -> int:
+        """Feature-axis padding: smallest multiple of 128 holding every
+        bucket cell (lane-aligned for the VPU)."""
+        n = self.num_buckets * self.features_per_bucket
+        return max(128, -(-n // 128) * 128)
+
+    def validate(self) -> "VOConfig":
+        if self.padded_features > self.feature_capacity:
+            object.__setattr__(self, "feature_capacity", self.padded_features)
+        return self
+
+    @classmethod
+    def for_image(cls, height: int, width: int, **kw) -> "VOConfig":
+        cfg = cls(height=height, width=width, **kw)
+        if cfg.padded_features > cfg.feature_capacity:
+            cfg = dataclasses.replace(cfg, feature_capacity=cfg.padded_features)
+        return cfg
+
+
+# Named configurations mirroring the reference's calibration files.
+KITTI00 = CameraIntrinsics(fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
+                           bf=-386.1448, width=1241, height=376)

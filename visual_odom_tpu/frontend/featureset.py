@@ -1,0 +1,52 @@
+"""Fixed-capacity masked feature state.
+
+TPU-native replacement for the reference's FeatureSet
+(``vector<Point2f> points; vector<int> ages`` — src/feature.h:33-43) whose
+per-frame ``vector::erase`` mutation is hostile to XLA's static-shape model.
+
+Design (SURVEY.md section 7): a fixed number of slots with a validity mask.
+"Delete" = clear the mask bit; "append"/"replace" = masked writes. The slot
+count equals the padded bucket-grid size, since bucketing (the stage that
+bounds the live feature count in the reference, src/visualOdometry.cpp:106-108)
+runs before tracking every frame.
+
+This also fixes the reference's ages/points desync bug: ages are filtered by
+exactly the same mask as points (reference loses sync at
+src/visualOdometry.cpp:119-127, see SURVEY.md section 2 row 7).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class FeatureState(NamedTuple):
+    """Per-sequence persistent tracked-feature store.
+
+    points: (N, 2) float32 (x, y) in the current left image.
+    ages:   (N,) int32 — frames survived (incremented on every successful
+            circular match, reference src/feature.cpp:83-86).
+    valid:  (N,) bool — slot liveness mask.
+    """
+
+    points: jnp.ndarray
+    ages: jnp.ndarray
+    valid: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.points.shape[-2]
+
+    def count(self) -> jnp.ndarray:
+        """Live feature count (reference FeatureSet::size())."""
+        return jnp.sum(self.valid, axis=-1)
+
+
+def empty_feature_state(capacity: int, batch: tuple = ()) -> FeatureState:
+    return FeatureState(
+        points=jnp.zeros(batch + (capacity, 2), jnp.float32),
+        ages=jnp.zeros(batch + (capacity,), jnp.int32),
+        valid=jnp.zeros(batch + (capacity,), bool),
+    )

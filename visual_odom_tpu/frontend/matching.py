@@ -1,0 +1,110 @@
+"""Circular matching across the stereo image quad.
+
+Reproduces the reference's frontend state machine (matchingFeatures,
+src/visualOdometry.cpp:81-129 + circularMatching, src/feature.cpp:118-148):
+
+    L(t0) -> R(t0) -> R(t1) -> L(t1) -> L(t0)_return
+
+four chained LK legs, then one fused validity reduction combining
+
+- the four LK statuses (deleteUnmatchFeaturesCircle, src/feature.cpp:76-116),
+- the negative-coordinate rejections for L0/R0/R1/L1 (same function),
+- the circular-closure check |L0_return - L0|_Chebyshev <= threshold
+  (checkValidMatch with threshold 0, src/visualOdometry.cpp:44-61, 119-120),
+
+and the age increment for every surviving feature (src/feature.cpp:83-86).
+Unlike the reference, ages are filtered by exactly the same mask as points
+(fixing the desync noted in SURVEY.md section 2 row 7).
+
+All four legs run on the full fixed-capacity slot array under one jit; the
+reference's erase-based compaction is replaced by mask updates.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from visual_odom_tpu.ops.lk import LKImage, LKParams, lk_track_pyramid
+from visual_odom_tpu.frontend.featureset import FeatureState
+
+
+class CircularMatchResult(NamedTuple):
+    points_l0: jnp.ndarray      # (N, 2) — bucketed source points
+    points_r0: jnp.ndarray
+    points_r1: jnp.ndarray
+    points_l1: jnp.ndarray
+    points_l0_return: jnp.ndarray
+    valid: jnp.ndarray          # (N,) — survived all checks
+    ages: jnp.ndarray           # (N,) — incremented survivor ages
+
+
+@partial(jax.jit, static_argnames=("params", "circle_threshold"))
+def circular_match(
+    img_l0: LKImage,
+    img_r0: LKImage,
+    img_l1: LKImage,
+    img_r1: LKImage,
+    bucketed: FeatureState,
+    params: LKParams = LKParams(),
+    circle_threshold: float = 0.0,
+) -> CircularMatchResult:
+    """Track the bucketed features around the quad and filter.
+
+    The reference tracks every feature through all four legs regardless of
+    intermediate status (statuses are only combined at the end,
+    src/feature.cpp:136-144); we do the same so positions match.
+    """
+    pts_l0 = bucketed.points
+    valid_in = bucketed.valid
+
+    pts_r0, s0 = lk_track_pyramid(img_l0, img_r0, pts_l0, valid_in, params)
+    pts_r1, s1 = lk_track_pyramid(img_r0, img_r1, pts_r0, valid_in, params)
+    pts_l1, s2 = lk_track_pyramid(img_r1, img_l1, pts_r1, valid_in, params)
+    pts_ret, s3 = lk_track_pyramid(img_l1, img_l0, pts_l1, valid_in, params)
+
+    def nonneg(p):
+        return (p[:, 0] >= 0) & (p[:, 1] >= 0)
+
+    # deleteUnmatchFeaturesCircle (src/feature.cpp:96-99): all statuses and
+    # the L0/R0/R1/L1 coordinates must be non-negative.
+    track_ok = (
+        s0 & s1 & s2 & s3
+        & nonneg(pts_l0) & nonneg(pts_r0) & nonneg(pts_r1) & nonneg(pts_l1)
+    )
+
+    # checkValidMatch (src/visualOdometry.cpp:44-61): Chebyshev round-trip
+    # closure; invalid iff offset > threshold (reference threshold = 0).
+    offset = jnp.maximum(
+        jnp.abs(pts_l0[:, 0] - pts_ret[:, 0]),
+        jnp.abs(pts_l0[:, 1] - pts_ret[:, 1]),
+    )
+    closure_ok = offset <= circle_threshold
+
+    valid = valid_in & track_ok & closure_ok
+    # Ages increment for every feature entering the circular match
+    # (src/feature.cpp:83-86); dead slots' ages are irrelevant (masked).
+    ages = bucketed.ages + 1
+
+    return CircularMatchResult(
+        points_l0=pts_l0,
+        points_r0=pts_r0,
+        points_r1=pts_r1,
+        points_l1=pts_l1,
+        points_l0_return=pts_ret,
+        valid=valid,
+        ages=ages,
+    )
+
+
+def commit_tracked_state(result: CircularMatchResult) -> FeatureState:
+    """New persistent state: survivors at their L(t1) positions
+    (reference src/visualOdometry.cpp:127: currentVOFeatures.points = L_t1)."""
+    return FeatureState(
+        points=result.points_l1,
+        ages=result.ages,
+        valid=result.valid,
+    )

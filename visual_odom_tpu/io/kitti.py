@@ -1,0 +1,100 @@
+"""KITTI odometry dataset I/O.
+
+Mirrors the reference's loaders:
+
+- image layout `<seq>/image_0/%06d.png` (left) and `image_1` (right),
+  grayscale (reference loadImageLeft/Right, src/utils.cpp:172-190);
+- ground-truth pose files: rows of 12 floats forming the top 3x4 of a 4x4
+  pose (reference loadPoses, src/evaluate/evaluate_odometry.cpp:17-33);
+- result poses written in the same 12-float row format so the devkit scorer
+  consumes them directly.
+
+Unlike the reference (which hard-codes a 9000-frame loop and crashes on the
+first missing image, src/main.cpp:123), sequences detect their own length.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def _imread_gray(path: str) -> np.ndarray:
+    """Grayscale image load matching cv::imread + BGR2GRAY rounding."""
+    try:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img
+    except ImportError:
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("L"))
+
+
+class KittiSequence:
+    """Iterates (left, right) grayscale uint8 frames of one KITTI sequence."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.left_dir = os.path.join(path, "image_0")
+        self.right_dir = os.path.join(path, "image_1")
+        n = 0
+        while os.path.exists(os.path.join(self.left_dir, f"{n:06d}.png")):
+            n += 1
+        self.num_frames = n
+        if n == 0:
+            raise FileNotFoundError(f"no frames under {self.left_dir}")
+
+    def frame(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        left = _imread_gray(os.path.join(self.left_dir, f"{i:06d}.png"))
+        right = _imread_gray(os.path.join(self.right_dir, f"{i:06d}.png"))
+        return left, right
+
+    def __len__(self) -> int:
+        return self.num_frames
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        for i in range(self.num_frames):
+            yield self.frame(i)
+
+
+def load_poses(path: str) -> np.ndarray:
+    """(N, 4, 4) float64 poses from a KITTI 12-float-per-row file
+    (reference loadPoses, src/evaluate/evaluate_odometry.cpp:17-33)."""
+    rows = np.loadtxt(path, dtype=np.float64)
+    if rows.ndim == 1:
+        rows = rows[None]
+    if rows.shape[1] != 12:
+        raise ValueError(f"expected 12 values per row in {path}, got {rows.shape[1]}")
+    n = rows.shape[0]
+    poses = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+    poses[:, :3, :] = rows.reshape(n, 3, 4)
+    return poses
+
+
+def save_poses_kitti(path: str, poses: np.ndarray) -> None:
+    """Write (N, 4, 4) poses as KITTI 12-float rows (devkit input format)."""
+    rows = np.asarray(poses)[:, :3, :].reshape(len(poses), 12)
+    np.savetxt(path, rows, fmt="%.9e")
+
+
+class PoseWriter:
+    """Streaming KITTI-format pose writer: poses land on disk incrementally
+    so partially-completed runs remain scorable (SURVEY.md section 5,
+    checkpoint/resume)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "w")
+
+    def append(self, pose: np.ndarray) -> None:
+        row = np.asarray(pose, dtype=np.float64)[:3, :].reshape(12)
+        self._f.write(" ".join(f"{v:.9e}" for v in row) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()

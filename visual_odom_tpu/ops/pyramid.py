@@ -1,0 +1,97 @@
+"""Image pyramid + gradient ops.
+
+TPU-native building blocks for the pyramidal LK tracker (the reference's
+pyramids are built inside cv::calcOpticalFlowPyrLK, reference
+src/feature.cpp:136-139):
+
+- ``pyr_down``: OpenCV-compatible pyrDown — separable 5-tap Gaussian
+  [1, 4, 6, 4, 1]/16 with BORDER_REFLECT_101, then 2x decimation keeping even
+  rows/cols. Output size is ceil(n/2), matching OpenCV.
+- ``scharr_derivatives``: OpenCV LK's calcScharrDeriv — smoothing [3, 10, 3]
+  cross derivative [-1, 0, 1], here normalized to true derivative units
+  (/16 smooth, /2 diff -> /32 overall) so the LK normal equations are in
+  pixel units. The /32 normalization cancels inside LK; we also fold it into
+  the minEig threshold check to preserve OpenCV's threshold semantics
+  (see ops/lk.py).
+
+Everything is plain XLA (convolutions fuse well and run on the MXU for the
+multi-channel case); Pallas is reserved for the gather-heavy LK iterations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_GAUSS5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32) / 16.0
+
+
+def _reflect101_pad(img: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:
+    """cv BORDER_REFLECT_101 padding: gfedcb|abcdefgh|gfedcba."""
+    return jnp.pad(img, ((pad_h, pad_h), (pad_w, pad_w)), mode="reflect")
+
+
+def _sep_filter2(img: jnp.ndarray, kr: np.ndarray, kc: np.ndarray) -> jnp.ndarray:
+    """Separable 2-D correlation with REFLECT_101 border on a (H, W) image."""
+    rh = len(kr) // 2
+    rw = len(kc) // 2
+    x = _reflect101_pad(img, rh, rw)
+    # Row pass (vertical kernel kr).
+    acc = jnp.zeros_like(x[rh:-rh if rh else None, :])
+    H = img.shape[0]
+    for i, w in enumerate(kr):
+        acc = acc + x[i : i + H, :] * float(w)
+    # Column pass (horizontal kernel kc).
+    W = img.shape[1]
+    out = jnp.zeros_like(img)
+    for j, w in enumerate(kc):
+        out = out + acc[:, j : j + W] * float(w)
+    return out
+
+
+def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
+    """OpenCV pyrDown: Gaussian blur then decimate. (H, W) -> (ceil(H/2), ceil(W/2))."""
+    blurred = _sep_filter2(img, _GAUSS5, _GAUSS5)
+    return blurred[::2, ::2]
+
+
+def build_pyramid(img: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
+    """Pyramid [level0=img, level1, ..., level_levels] — ``levels``+1 images,
+    matching cv::buildOpticalFlowPyramid(maxLevel=levels)."""
+    pyr = [img]
+    for _ in range(levels):
+        pyr.append(pyr_down(pyr[-1]))
+    return pyr
+
+
+_SCHARR_SMOOTH = np.array([3.0, 10.0, 3.0], dtype=np.float32) / 16.0
+_SCHARR_DIFF = np.array([-1.0, 0.0, 1.0], dtype=np.float32) / 2.0
+
+
+def scharr_derivatives(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(Ix, Iy) Scharr derivatives in true-pixel units.
+
+    OpenCV's LK uses integer Scharr with weights (3, 10, 3) x (-1, 0, 1)
+    without normalization (a x32 scale); we normalize here and compensate in
+    the minEig threshold (ops/lk.py) so results match OpenCV semantics.
+    """
+    ix = _sep_filter2(img, _SCHARR_SMOOTH, _SCHARR_DIFF)
+    iy = _sep_filter2(img, _SCHARR_DIFF, _SCHARR_SMOOTH)
+    return ix, iy
+
+
+@partial(jax.jit, static_argnames=("levels",))
+def build_pyramid_with_derivs(img: jnp.ndarray, levels: int):
+    """Pyramid plus per-level Scharr derivatives, as flat tuples.
+
+    Returns (images, ixs, iys) — each a tuple of ``levels + 1`` arrays from
+    fine to coarse. Computed once per frame and reused by all four LK legs
+    that read the same image (the quad shares pyramids: L0 appears in legs
+    1 and 4, reference src/feature.cpp:136-139).
+    """
+    pyr = build_pyramid(img, levels)
+    ixs, iys = zip(*(scharr_derivatives(p) for p in pyr))
+    return tuple(pyr), tuple(ixs), tuple(iys)
