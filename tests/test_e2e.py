@@ -1,0 +1,103 @@
+"""End-to-end integration: synthetic stereo sequence -> trajectory -> score.
+
+SURVEY.md section 4 "Integration": short synthetic sequence end-to-end with
+the trajectory checked against exact ground truth.
+"""
+
+import numpy as np
+import pytest
+
+from visual_odom_tpu.config import CameraIntrinsics, VOConfig
+from visual_odom_tpu.eval.kitti_eval import ate_rmse
+from visual_odom_tpu.io.synthetic import SyntheticStereoSequence
+from visual_odom_tpu.runner.pipeline import run_sequence
+
+H, W = 120, 160
+
+
+@pytest.fixture(scope="module")
+def e2e_run(tmp_path_factory):
+    intr = CameraIntrinsics(
+        fx=120.0, fy=120.0, cx=W / 2, cy=H / 2, bf=-120.0 * 0.54,
+        width=W, height=H,
+    )
+    cfg = VOConfig.for_image(H, W, ransac_iterations=200)
+    seq = SyntheticStereoSequence(intr, num_frames=10, seed=0, speed=0.5)
+    tmp = tmp_path_factory.mktemp("e2e")
+    poses, results = run_sequence(
+        seq, cfg, intr,
+        metrics_path=str(tmp / "metrics.jsonl"),
+        poses_path=str(tmp / "poses.txt"),
+    )
+    return seq, poses, results, tmp
+
+
+def test_trajectory_close_to_ground_truth(e2e_run):
+    seq, poses, results, _ = e2e_run
+    gt = seq.poses[: len(poses)]
+    ate = ate_rmse(gt, poses)
+    assert ate < 0.12, f"ATE {ate}"
+    # Scale: total distance within 10% of ground truth.
+    dist_gt = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1).sum()
+    dist_vo = np.linalg.norm(np.diff(poses[:, :3, 3], axis=0), axis=1).sum()
+    assert abs(dist_vo - dist_gt) / dist_gt < 0.1
+
+
+def test_frames_accepted_and_tracked(e2e_run):
+    _, _, results, _ = e2e_run
+    accept_ratio = np.mean([r.accept for r in results])
+    assert accept_ratio >= 0.8
+    assert all(r.num_matched > 20 for r in results)
+    assert all(r.num_inliers > 10 for r in results)
+
+
+def test_artifacts_written(e2e_run):
+    import json
+
+    seq, poses, results, tmp = e2e_run
+    from visual_odom_tpu.io.kitti import load_poses
+
+    saved = load_poses(str(tmp / "poses.txt"))
+    assert len(saved) == len(poses)
+    np.testing.assert_allclose(saved[-1], poses[-1], atol=1e-6)
+
+    lines = (tmp / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == len(results)
+    rec = json.loads(lines[0])
+    for k in ("num_inliers", "num_matched", "scale", "accept", "frame_time_ms"):
+        assert k in rec
+
+
+def test_checkpoint_resume(e2e_run):
+    """Checkpoint mid-sequence, resume, and land on the same trajectory."""
+    from visual_odom_tpu.config import CameraIntrinsics, VOConfig
+    from visual_odom_tpu.runner.pipeline import VisualOdometry
+    from visual_odom_tpu.utils.checkpoint import (
+        load_checkpoint,
+        restore_vo,
+        save_checkpoint,
+    )
+
+    seq, poses_full, _, tmp = e2e_run
+    intr = CameraIntrinsics(
+        fx=120.0, fy=120.0, cx=W / 2, cy=H / 2, bf=-120.0 * 0.54,
+        width=W, height=H,
+    )
+    cfg = VOConfig.for_image(H, W, ransac_iterations=200)
+
+    frames = [seq.frame(i) for i in range(len(seq))]
+    vo = VisualOdometry(cfg, intr, seed=0)
+    vo.initialize(*frames[0])
+    for i in range(1, 5):
+        vo.process_frame(*frames[i])
+    ck = str(tmp / "ck.npz")
+    save_checkpoint(ck, vo)
+
+    vo2 = VisualOdometry(cfg, intr, seed=0)
+    vo2.initialize(*frames[0])
+    nxt = restore_vo(vo2, load_checkpoint(ck), *frames[4])
+    assert nxt == 5
+    r_a = vo.process_frame(*frames[5])
+    r_b = vo2.process_frame(*frames[5])
+    np.testing.assert_allclose(r_a.pose, r_b.pose, atol=1e-5)
+    assert r_a.num_matched == r_b.num_matched

@@ -1,0 +1,120 @@
+"""Gauss-Newton bundle adjustment with Schur-complement landmark elimination.
+
+The classic two-block structure, laid out for TPU:
+
+    [ Hpp  Hpl ] [ dp ]   [ bp ]
+    [ Hpl' Hll ] [ dx ] = [ bl ]
+
+- Every Jacobian block comes from one vmapped jacfwd over the (W, L)
+  observation grid (exact derivatives through Rodrigues);
+- Hll is (L, 3, 3) block-diagonal -> batched 3x3 inverse;
+- the reduced camera system S = Hpp - Hpl Hll^-1 Hpl' is formed by einsums
+  whose contraction axis is the LANDMARK axis — this is the axis
+  parallel/sharded_ba.py shards across devices, with the S/rhs contributions
+  combined by psum (the "distributed Schur reduction over collectives" of
+  BASELINE.json);
+- S is dense (6W, 6W) with W ~ 4..16 keyframes: a single small solve;
+- the gauge is fixed by a large prior on pose 0 (the window's anchor).
+
+No reference counterpart exists (the reference has no BA at all,
+SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from visual_odom_tpu.ba.problem import BAProblem, project_stereo, residuals
+
+_HI = jax.lax.Precision.HIGHEST
+_GAUGE_PRIOR = 1e9
+
+
+def _jacobian_blocks(problem: BAProblem):
+    """Per-observation Jacobians A (d r / d pose) and B (d r / d landmark).
+
+    Returns (A (W, L, 3, 6), B (W, L, 3, 3), r (W, L, 3)) with masked rows
+    zeroed (zero residual AND zero Jacobian = observation absent).
+    """
+    intr = (problem.fx, problem.fy, problem.cx, problem.cy, problem.bf)
+
+    def obs_residual(pose6, X, target):
+        return project_stereo(pose6, X, intr) - target
+
+    def per_pose(pose6, obs_row):
+        def per_lm(X, target):
+            A = jax.jacfwd(obs_residual, argnums=0)(pose6, X, target)
+            B = jax.jacfwd(obs_residual, argnums=1)(pose6, X, target)
+            r = obs_residual(pose6, X, target)
+            return A, B, r
+
+        return jax.vmap(per_lm)(problem.landmarks, obs_row)
+
+    A, B, r = jax.vmap(per_pose)(problem.poses, problem.observations)
+    m = problem.mask[..., None]
+    r = jnp.where(m, r, 0.0)
+    A = jnp.where(m[..., None], A, 0.0)
+    B = jnp.where(m[..., None], B, 0.0)
+    return A, B, r
+
+
+@partial(jax.jit, static_argnames=("damping",))
+def ba_gauss_newton_step(problem: BAProblem, damping: float = 1e-4) -> BAProblem:
+    """One damped GN step. Returns the updated problem."""
+    W = problem.poses.shape[0]
+    A, B, r = _jacobian_blocks(problem)
+
+    # Block accumulations (contraction over landmarks marked "L!").
+    Hpp = jnp.einsum("wlri,wlrj->wij", A, A, precision=_HI)        # (W, 6, 6)
+    Hll = jnp.einsum("wlri,wlrj->lij", B, B, precision=_HI)        # (L, 3, 3)
+    Hpl = jnp.einsum("wlri,wlrj->wlij", A, B, precision=_HI)       # (W, L, 6, 3)
+    bp = jnp.einsum("wlri,wlr->wi", A, r, precision=_HI)           # (W, 6)
+    bl = jnp.einsum("wlri,wlr->li", B, r, precision=_HI)           # (L, 3)
+
+    # LM damping + batched 3x3 landmark-block inverse.
+    Hll = Hll + damping * jnp.eye(3, dtype=Hll.dtype)
+    Hll_inv = jnp.linalg.inv(Hll)                                   # (L, 3, 3)
+
+    # Schur complement: contraction over landmarks (L!) — the sharded axis.
+    HplWinv = jnp.einsum("wlij,ljk->wlik", Hpl, Hll_inv, precision=_HI)
+    S_red = jnp.einsum("wlik,vljk->wvij", HplWinv, Hpl, precision=_HI)
+    rhs_red = jnp.einsum("wlik,lk->wi", HplWinv, bl, precision=_HI)
+
+    S = jnp.zeros_like(S_red)
+    S = S.at[jnp.arange(W), jnp.arange(W)].set(
+        Hpp + damping * jnp.eye(6, dtype=Hpp.dtype)
+    )
+    S = S - S_red
+    rhs = bp - rhs_red
+
+    # Gauge: anchor pose 0 with a large prior.
+    S = S.at[0, 0].add(_GAUGE_PRIOR * jnp.eye(6, dtype=S.dtype))
+
+    S_dense = S.transpose(0, 2, 1, 3).reshape(W * 6, W * 6)
+    rhs_dense = rhs.reshape(W * 6)
+    dp = jnp.linalg.solve(S_dense, rhs_dense).reshape(W, 6)
+
+    # Landmark back-substitution.
+    corr = jnp.einsum("wlij,wi->lj", Hpl, dp, precision=_HI)
+    dx = jnp.einsum("lij,lj->li", Hll_inv, bl - corr, precision=_HI)
+
+    ok = jnp.all(jnp.isfinite(dp)) & jnp.all(jnp.isfinite(dx))
+    new_poses = jnp.where(ok, problem.poses - dp, problem.poses)
+    new_landmarks = jnp.where(ok, problem.landmarks - dx, problem.landmarks)
+    return problem._replace(poses=new_poses, landmarks=new_landmarks)
+
+
+@partial(jax.jit, static_argnames=("iterations", "damping"))
+def ba_solve(problem: BAProblem, iterations: int = 10,
+             damping: float = 1e-4) -> BAProblem:
+    """Fixed-iteration GN loop (static trip count; extra steps are no-ops at
+    the optimum)."""
+
+    def body(p, _):
+        return ba_gauss_newton_step(p, damping=damping), None
+
+    out, _ = jax.lax.scan(body, problem, None, length=iterations)
+    return out

@@ -77,12 +77,15 @@ def circular_match(
     )
 
     # checkValidMatch (src/visualOdometry.cpp:44-61): Chebyshev round-trip
-    # closure; invalid iff offset > threshold (reference threshold = 0).
+    # closure. The reference declares `int offset` (:46) so the float
+    # distance TRUNCATES before the `> threshold` comparison — threshold 0
+    # therefore means "round trip closes within 1 pixel", not exact
+    # equality. We reproduce the truncation semantics bit-for-bit.
     offset = jnp.maximum(
         jnp.abs(pts_l0[:, 0] - pts_ret[:, 0]),
         jnp.abs(pts_l0[:, 1] - pts_ret[:, 1]),
     )
-    closure_ok = offset <= circle_threshold
+    closure_ok = jnp.floor(offset) <= circle_threshold
 
     valid = valid_in & track_ok & closure_ok
     # Ages increment for every feature entering the circular match

@@ -46,19 +46,32 @@ class LKParams(NamedTuple):
     min_eig_threshold: float = 0.001
 
 
-class LKImage(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class LKImage:
     """Per-image precomputation shared by every LK leg touching the image.
 
     All arrays are padded by ``pad`` pixels of REFLECT_101 border on each side
     (OpenCV's buildOpticalFlowPyramid pads each level by winSize for the same
     reason: windows may legally hang off the image edge).
+
+    ``shapes`` (unpadded per-level dims) and ``pad`` are static pytree
+    metadata, so jitted consumers can use them as Python ints.
     """
 
-    pyramid: tuple      # level -> (H_l + 2p, W_l + 2p) f32 image
-    ix: tuple           # level -> Scharr d/dx, same padded shape
-    iy: tuple           # level -> Scharr d/dy
-    shapes: tuple       # level -> (H_l, W_l) unpadded, static
-    pad: int
+    def __init__(self, pyramid: tuple, ix: tuple, iy: tuple, shapes: tuple,
+                 pad: int):
+        self.pyramid = pyramid  # level -> (H_l + 2p, W_l + 2p) f32 image
+        self.ix = ix            # level -> Scharr d/dx, same padded shape
+        self.iy = iy            # level -> Scharr d/dy
+        self.shapes = shapes    # level -> (H_l, W_l) unpadded, static
+        self.pad = pad
+
+    def tree_flatten(self):
+        return (self.pyramid, self.ix, self.iy), (self.shapes, self.pad)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux[0], aux[1])
 
 
 def _pad_reflect(img: jnp.ndarray, pad: int) -> jnp.ndarray:

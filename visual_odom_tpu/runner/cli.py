@@ -1,0 +1,153 @@
+"""Command-line interface.
+
+Extends the reference's single positional-arg binary
+(`./run <seq|rgbd> <calib.yaml> [gt_poses.txt]`, src/main.cpp:37-58) into
+subcommands; `vo run` keeps argument-for-argument compatibility with the
+reference invocation.
+
+    vo run  <sequence_dir|synthetic> <calib.yaml> [gt_poses.txt] [options]
+    vo eval --gt gt.txt --result poses.txt        # devkit scoring
+    vo bench [options]                            # kernel + pipeline bench
+
+The devkit scorer the reference ships but never wires up
+(src/evaluate/evaluate_odometry.cpp:471-497 — main commented out) is a
+first-class subcommand here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _cmd_run(args) -> int:
+    from visual_odom_tpu.config import VOConfig, load_calibration
+    from visual_odom_tpu.runner.pipeline import run_sequence
+    from visual_odom_tpu.eval.kitti_eval import evaluate_sequence
+    from visual_odom_tpu.eval.plot import render_trajectory, save_png
+
+    intr = load_calibration(args.calibration)
+
+    if args.sequence == "synthetic":
+        from visual_odom_tpu.io.synthetic import SyntheticStereoSequence
+
+        if not intr.height:
+            print("synthetic mode needs Camera.width/height in the calib file")
+            return 1
+        seq = SyntheticStereoSequence(intr, num_frames=args.max_frames or 50)
+        frames = iter(seq)
+        gt = seq.poses
+        h, w = intr.height, intr.width
+    elif args.sequence == "rgbd":
+        # Live capture path (reference src/main.cpp:58,101-106). Requires
+        # camera hardware; fails fast otherwise.
+        from visual_odom_tpu.io.camera import V4L2StereoCamera
+
+        cam = V4L2StereoCamera()
+        frames = iter(lambda: cam.get_lr_frames(), None)
+        gt = None
+        h, w = 480, 640
+    else:
+        from visual_odom_tpu.io.kitti import KittiSequence, load_poses
+
+        kseq = KittiSequence(args.sequence)
+        left0, _ = kseq.frame(0)
+        h, w = left0.shape
+
+        def _frames():
+            n = len(kseq)
+            if args.max_frames:
+                n = min(n, args.max_frames)
+            for i in range(n):
+                yield kseq.frame(i)
+
+        frames = _frames()
+        gt = load_poses(args.ground_truth) if args.ground_truth else None
+
+    cfg = VOConfig.for_image(h, w)
+    poses, results = run_sequence(
+        frames,
+        cfg,
+        intr,
+        metrics_path=args.metrics,
+        poses_path=args.output,
+        verbose=not args.quiet,
+    )
+
+    if args.trajectory_png:
+        save_png(args.trajectory_png, render_trajectory(poses, gt))
+    if gt is not None:
+        score = evaluate_sequence(np.asarray(gt), poses)
+        print(json.dumps(score, indent=2))
+    return 0
+
+
+def _cmd_eval(args) -> int:
+    from visual_odom_tpu.io.kitti import load_poses
+    from visual_odom_tpu.eval.kitti_eval import (
+        calc_sequence_errors,
+        evaluate_sequence,
+    )
+
+    gt = load_poses(args.gt)
+    res = load_poses(args.result)
+    if len(gt) != len(res) and not args.allow_partial:
+        print(f"pose count mismatch: gt={len(gt)} result={len(res)} "
+              "(pass --allow-partial to score the overlap)")
+        return 2
+    n = min(len(gt), len(res))
+    score = evaluate_sequence(gt[:n], res[:n])
+    print(json.dumps(score, indent=2))
+    if args.errors_out:
+        segs = calc_sequence_errors(gt[:n], res[:n])
+        with open(args.errors_out, "w") as f:
+            for e in segs:  # saveSequenceErrors row format (:118-130)
+                f.write(f"{e.first_frame} {e.r_err:f} {e.t_err:f} "
+                        f"{e.length:f} {e.speed:f}\n")
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    import subprocess
+
+    cmd = [sys.executable, "bench.py"]
+    if args.quick:
+        cmd.append("--quick")
+    return subprocess.call(cmd)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="vo", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="run visual odometry over a sequence")
+    pr.add_argument("sequence", help="KITTI sequence dir, 'synthetic', or 'rgbd'")
+    pr.add_argument("calibration", help="OpenCV-YAML calibration file")
+    pr.add_argument("ground_truth", nargs="?", help="KITTI GT pose file")
+    pr.add_argument("--output", "-o", help="write KITTI-format poses here")
+    pr.add_argument("--metrics", help="write JSONL per-frame metrics here")
+    pr.add_argument("--trajectory-png", help="write bird's-eye trajectory PNG")
+    pr.add_argument("--max-frames", type=int, default=0)
+    pr.add_argument("--quiet", action="store_true")
+    pr.set_defaults(fn=_cmd_run)
+
+    pe = sub.add_parser("eval", help="KITTI devkit scoring")
+    pe.add_argument("--gt", required=True)
+    pe.add_argument("--result", required=True)
+    pe.add_argument("--errors-out", help="devkit-format per-segment errors")
+    pe.add_argument("--allow-partial", action="store_true")
+    pe.set_defaults(fn=_cmd_eval)
+
+    pb = sub.add_parser("bench", help="run the benchmark harness")
+    pb.add_argument("--quick", action="store_true")
+    pb.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,439 @@
+"""The VO pipeline: one compiled per-frame step + a thin host loop.
+
+This is the TPU-native restructuring of the reference's per-frame driver
+(src/main.cpp:123-224 — load, matchingFeatures, triangulate,
+trackingFrame2Frame, gate, integrate, display): everything between "images on
+device" and "4x4 frame delta" is ONE jitted function with static shapes, so
+XLA fuses the whole frame into a single executable. The host loop only
+decodes images, uploads them, and chains poses in float64.
+
+Key structural moves vs. the reference:
+
+- The image quad's pyramids are computed once per image, not once per LK
+  call: t1's prepared pyramids are carried in the state and become t0's next
+  frame (the reference rebuilds pyramids inside every calcOpticalFlowPyrLK —
+  8 pyramid builds per frame; we do 2).
+- The warm-start translation persists in device state exactly as the
+  reference's main-scope `translation` mat does (src/main.cpp:81-82); rvec
+  restarts at zero each frame (src/visualOdometry.cpp:162).
+- Host<->device traffic per frame: two uint8 images up, ~100 bytes of pose
+  and diagnostics down.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visual_odom_tpu.config import CameraIntrinsics, VOConfig
+from visual_odom_tpu.core.triangulate import triangulate_points
+from visual_odom_tpu.frontend.bucketing import detect_and_bucket
+from visual_odom_tpu.frontend.featureset import FeatureState, empty_feature_state
+from visual_odom_tpu.frontend.matching import circular_match, commit_tracked_state
+from visual_odom_tpu.backend.integrate import gate_and_integrate
+from visual_odom_tpu.backend.pnp import pnp_ransac
+from visual_odom_tpu.ops.lk import LKImage, LKParams, prepare_lk_image
+
+
+class VOState(NamedTuple):
+    """Device-resident state carried across frames."""
+
+    features: FeatureState   # tracked features, positions in current L(t0)
+    lk_l0: LKImage           # prepared pyramid of L(t0)
+    lk_r0: LKImage           # prepared pyramid of R(t0)
+    tvec: jnp.ndarray        # (3,) warm-start translation
+    key: jnp.ndarray         # PRNG key for RANSAC sampling
+
+
+class StepOutput(NamedTuple):
+    """Small per-frame outputs fetched to the host."""
+
+    T_inv: jnp.ndarray        # (4, 4) accepted delta inverse (f32)
+    accept: jnp.ndarray       # () bool
+    scale: jnp.ndarray        # () ||t||
+    euler: jnp.ndarray        # (3,)
+    rvec: jnp.ndarray         # (3,)
+    tvec: jnp.ndarray         # (3,)
+    num_inliers: jnp.ndarray  # () int32
+    num_matched: jnp.ndarray  # () int32 — circular-match survivors
+    num_bucketed: jnp.ndarray # () int32 — features entering LK
+
+
+class TrackSnapshot(NamedTuple):
+    """Optional per-frame track dump for visualization (displayTracking,
+    reference src/visualOdometry.cpp:195-224)."""
+
+    points_l0: jnp.ndarray
+    points_l1: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def _lk_params(config: VOConfig) -> LKParams:
+    return LKParams(
+        window=config.lk_window,
+        levels=config.lk_levels,
+        max_iters=config.lk_max_iters,
+        eps=config.lk_eps,
+        min_eig_threshold=config.lk_min_eig_threshold,
+    )
+
+
+def make_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
+                 with_tracks: bool = False, _jit: bool = True):
+    """Build the jitted per-frame step for a static (config, intrinsics)."""
+    # NumPy (not jnp) closure constants: jax.Array constants require a
+    # device->host fetch per constant at lowering time, which over the axon
+    # TPU tunnel costs seconds each; numpy constants embed directly.
+    P_l = intrinsics.proj_left()
+    P_r = intrinsics.proj_right()
+    K = intrinsics.intrinsic_matrix()
+    params = _lk_params(config)
+
+    def step(state: VOState, left_t1: jnp.ndarray, right_t1: jnp.ndarray):
+        # -- prepare this frame's pyramids (reused next frame as t0) --------
+        lk_l1 = prepare_lk_image(left_t1.astype(jnp.float32), params)
+        lk_r1 = prepare_lk_image(right_t1.astype(jnp.float32), params)
+
+        # -- detection + bucketing on L(t0) ---------------------------------
+        pad = state.lk_l0.pad
+        h, w = state.lk_l0.shapes[0]
+        raw_l0 = jax.lax.dynamic_slice(state.lk_l0.pyramid[0], (pad, pad), (h, w))
+        bucketed = detect_and_bucket(raw_l0, state.features, config)
+
+        # -- circular matching across the quad ------------------------------
+        match = circular_match(
+            state.lk_l0, state.lk_r0, lk_l1, lk_r1, bucketed,
+            params, config.circle_threshold,
+        )
+
+        # -- triangulation of t0 stereo pairs -------------------------------
+        pts3d = triangulate_points(P_l, P_r, match.points_l0, match.points_r0)
+        # Benign coordinates for masked slots (keeps PnP jacobians finite).
+        safe = jnp.array([0.0, 0.0, 10.0], jnp.float32)
+        pts3d = jnp.where(match.valid[:, None], pts3d, safe)
+
+        # -- PnP-RANSAC pose solve ------------------------------------------
+        key, sub = jax.random.split(state.key)
+        pnp = pnp_ransac(
+            pts3d,
+            match.points_l1,
+            match.valid,
+            K,
+            rvec0=jnp.zeros(3, jnp.float32),
+            tvec0=state.tvec,
+            key=sub,
+            iterations=config.ransac_iterations,
+            reproj_threshold=config.ransac_reproj_threshold,
+            sample_size=config.ransac_sample_size,
+            refine_iters=config.pnp_refine_iters,
+        )
+
+        # -- gating ----------------------------------------------------------
+        gate = gate_and_integrate(pnp.rvec, pnp.tvec)
+
+        new_state = VOState(
+            features=commit_tracked_state(match),
+            lk_l0=lk_l1,
+            lk_r0=lk_r1,
+            tvec=jnp.where(config.use_extrinsic_guess, pnp.tvec,
+                           jnp.zeros(3, jnp.float32)),
+            key=key,
+        )
+        out = StepOutput(
+            T_inv=gate.T_inv,
+            accept=gate.accept,
+            scale=gate.scale,
+            euler=gate.euler,
+            rvec=pnp.rvec,
+            tvec=pnp.tvec,
+            num_inliers=pnp.num_inliers,
+            num_matched=jnp.sum(match.valid).astype(jnp.int32),
+            num_bucketed=jnp.sum(bucketed.valid).astype(jnp.int32),
+        )
+        if with_tracks:
+            tracks = TrackSnapshot(match.points_l0, match.points_l1, match.valid)
+            return new_state, out, tracks
+        return new_state, out
+
+    if not _jit:
+        return step
+    return jax.jit(step, donate_argnums=(0,))
+
+
+class OutputBuffers(NamedTuple):
+    """Preallocated device-resident per-frame output store.
+
+    The axon TPU tunnel (and remote TPU runtimes generally) charge ~seconds
+    of latency per device->host fetch regardless of size, so the frame loop
+    must never fetch. Each step writes its outputs at index i; the host
+    fetches the whole pytree ONCE at end of sequence and chains poses in
+    float64 afterwards (composition is associative, so deferred chaining is
+    exact).
+    """
+
+    T_inv: jnp.ndarray      # (N, 4, 4)
+    accept: jnp.ndarray     # (N,) bool
+    scale: jnp.ndarray      # (N,)
+    euler: jnp.ndarray      # (N, 3)
+    tvec: jnp.ndarray       # (N, 3)
+    num_inliers: jnp.ndarray   # (N,) int32
+    num_matched: jnp.ndarray   # (N,) int32
+    num_bucketed: jnp.ndarray  # (N,) int32
+    idx: jnp.ndarray           # () int32 — next write position (device-side
+                               # cursor: avoids a host->device index transfer
+                               # per frame)
+
+
+def make_output_buffers(n: int) -> OutputBuffers:
+    return OutputBuffers(
+        T_inv=jnp.tile(jnp.eye(4, dtype=jnp.float32), (n, 1, 1)),
+        accept=jnp.zeros(n, bool),
+        scale=jnp.zeros(n, jnp.float32),
+        euler=jnp.zeros((n, 3), jnp.float32),
+        tvec=jnp.zeros((n, 3), jnp.float32),
+        num_inliers=jnp.zeros(n, jnp.int32),
+        num_matched=jnp.zeros(n, jnp.int32),
+        num_bucketed=jnp.zeros(n, jnp.int32),
+        idx=jnp.int32(0),
+    )
+
+
+def make_buffered_step_fn(config: VOConfig, intrinsics: CameraIntrinsics):
+    """Like make_step_fn but writes outputs into device buffers at index i —
+    zero host synchronization inside the frame loop."""
+    base = _make_raw_step(config, intrinsics)
+
+    def step(state: VOState, left_t1, right_t1, bufs: OutputBuffers):
+        new_state, out = base(state, left_t1, right_t1)
+        i = bufs.idx
+        bufs = OutputBuffers(
+            T_inv=bufs.T_inv.at[i].set(out.T_inv),
+            accept=bufs.accept.at[i].set(out.accept),
+            scale=bufs.scale.at[i].set(out.scale),
+            euler=bufs.euler.at[i].set(out.euler),
+            tvec=bufs.tvec.at[i].set(out.tvec),
+            num_inliers=bufs.num_inliers.at[i].set(out.num_inliers),
+            num_matched=bufs.num_matched.at[i].set(out.num_matched),
+            num_bucketed=bufs.num_bucketed.at[i].set(out.num_bucketed),
+            idx=i + 1,
+        )
+        return new_state, bufs
+
+    return jax.jit(step, donate_argnums=(0, 3))
+
+
+def chain_poses_host(T_inv: np.ndarray, accept: np.ndarray) -> np.ndarray:
+    """Float64 pose chaining of fetched per-frame deltas; returns (N+1, 4, 4)
+    including the identity start pose."""
+    n = len(T_inv)
+    poses = np.empty((n + 1, 4, 4))
+    pose = np.eye(4)
+    poses[0] = pose
+    for i in range(n):
+        if accept[i]:
+            pose = pose @ np.asarray(T_inv[i], np.float64)
+        poses[i + 1] = pose
+    return poses
+
+
+def run_sequence_buffered(
+    frames,
+    config: VOConfig,
+    intrinsics: CameraIntrinsics,
+    seed: int = 0,
+    preupload: bool = True,
+):
+    """Throughput-oriented sequence runner: no host fetch until the end.
+
+    Returns (poses (N+1, 4, 4) f64, fetched OutputBuffers as numpy,
+    wall_seconds_compute) where wall_seconds_compute excludes image
+    decode/upload when ``preupload`` is set (pure device pipeline time,
+    the FPS number BASELINE.md targets).
+    """
+    frames = list(frames)
+    n = len(frames) - 1
+    step = make_buffered_step_fn(config, intrinsics)
+    params = _lk_params(config)
+
+    if preupload:
+        device_frames = [
+            (jax.device_put(l), jax.device_put(r)) for l, r in frames
+        ]
+    else:
+        device_frames = frames
+
+    # One jitted init: remote runtimes charge per-dispatch, so state + buffer
+    # construction is a single compiled call.
+    @partial(jax.jit, static_argnames=("nframes",))
+    def _init(l0, r0, seed, nframes):
+        return (
+            VOState(
+                features=empty_feature_state(config.padded_features),
+                lk_l0=prepare_lk_image(l0.astype(jnp.float32), params),
+                lk_r0=prepare_lk_image(r0.astype(jnp.float32), params),
+                tvec=jnp.zeros(3, jnp.float32),
+                key=jax.random.PRNGKey(seed),
+            ),
+            make_output_buffers(nframes),
+        )
+
+    l0, r0 = device_frames[0]
+    state, bufs = _init(jnp.asarray(l0), jnp.asarray(r0), seed, n)
+    jax.block_until_ready(bufs)
+
+    t0 = time.perf_counter()
+    for i in range(n):
+        left, right = device_frames[i + 1]
+        state, bufs = step(state, jnp.asarray(left), jnp.asarray(right), bufs)
+    jax.block_until_ready(bufs)
+    wall = time.perf_counter() - t0
+
+    fetched = jax.tree.map(np.asarray, bufs)
+    poses = chain_poses_host(fetched.T_inv, fetched.accept)
+    return poses, fetched, wall
+
+
+def _make_raw_step(config: VOConfig, intrinsics: CameraIntrinsics):
+    """Unjitted (state, left, right) -> (state, StepOutput) closure shared by
+    the interactive and buffered front doors."""
+    return make_step_fn(config, intrinsics, with_tracks=False,
+                        _jit=False)
+
+
+class FrameResult(NamedTuple):
+    """Host-side result of one processed frame."""
+
+    frame_id: int
+    pose: np.ndarray          # (4, 4) float64 integrated world pose
+    accept: bool
+    scale: float
+    num_inliers: int
+    num_matched: int
+    num_bucketed: int
+    frame_time_ms: float
+
+
+class VisualOdometry:
+    """Stateful host driver: feed stereo frames, get integrated poses.
+
+    Usage:
+        vo = VisualOdometry(config, intrinsics)
+        vo.initialize(left0, right0)
+        for left, right in frames:
+            result = vo.process_frame(left, right)
+    """
+
+    def __init__(
+        self,
+        config: VOConfig,
+        intrinsics: CameraIntrinsics,
+        seed: int = 0,
+        with_tracks: bool = False,
+    ):
+        self.config = config
+        self.intrinsics = intrinsics
+        self.with_tracks = with_tracks
+        self._step = make_step_fn(config, intrinsics, with_tracks)
+        self._params = _lk_params(config)
+        self._seed = seed
+        self.frame_pose = np.eye(4)  # float64 world pose (reference frame_pose)
+        self.frame_id = 0
+        self.state: Optional[VOState] = None
+        self.last_tracks = None
+
+    def initialize(self, left0: np.ndarray, right0: np.ndarray) -> None:
+        """Load frame 0 (reference src/main.cpp:110-113)."""
+        lk_l0 = prepare_lk_image(jnp.asarray(left0, jnp.float32), self._params)
+        lk_r0 = prepare_lk_image(jnp.asarray(right0, jnp.float32), self._params)
+        self.state = VOState(
+            features=empty_feature_state(self.config.padded_features),
+            lk_l0=lk_l0,
+            lk_r0=lk_r0,
+            tvec=jnp.zeros(3, jnp.float32),
+            key=jax.random.PRNGKey(self._seed),
+        )
+        self.frame_pose = np.eye(4)
+        self.frame_id = 0
+
+    def process_frame(self, left: np.ndarray, right: np.ndarray) -> FrameResult:
+        if self.state is None:
+            raise RuntimeError("call initialize(left0, right0) first")
+        t0 = time.perf_counter()
+        self.frame_id += 1
+        outs = self._step(self.state, jnp.asarray(left), jnp.asarray(right))
+        if self.with_tracks:
+            self.state, out, tracks = outs
+            self.last_tracks = jax.tree.map(np.asarray, tracks)
+        else:
+            self.state, out = outs
+        accept = bool(out.accept)
+        T_inv = np.asarray(out.T_inv, dtype=np.float64)
+        if accept:
+            self.frame_pose = self.frame_pose @ T_inv
+        dt = (time.perf_counter() - t0) * 1000.0
+        return FrameResult(
+            frame_id=self.frame_id,
+            pose=self.frame_pose.copy(),
+            accept=accept,
+            scale=float(out.scale),
+            num_inliers=int(out.num_inliers),
+            num_matched=int(out.num_matched),
+            num_bucketed=int(out.num_bucketed),
+            frame_time_ms=dt,
+        )
+
+
+def run_sequence(
+    frames,
+    config: VOConfig,
+    intrinsics: CameraIntrinsics,
+    seed: int = 0,
+    metrics_path: Optional[str] = None,
+    poses_path: Optional[str] = None,
+    verbose: bool = False,
+) -> tuple[np.ndarray, list[FrameResult]]:
+    """Run VO over an iterable of (left, right) frames.
+
+    Returns ((N, 4, 4) float64 poses including identity frame 0, results).
+    """
+    from visual_odom_tpu.utils.metrics import MetricsLogger
+
+    it = iter(frames)
+    left0, right0 = next(it)
+    vo = VisualOdometry(config, intrinsics, seed=seed)
+    vo.initialize(left0, right0)
+
+    logger = MetricsLogger(metrics_path) if metrics_path else None
+    writer = None
+    if poses_path:
+        from visual_odom_tpu.io.kitti import PoseWriter
+
+        writer = PoseWriter(poses_path)
+        writer.append(np.eye(4))
+
+    poses = [np.eye(4)]
+    results = []
+    for left, right in it:
+        r = vo.process_frame(left, right)
+        poses.append(r.pose)
+        results.append(r)
+        if writer:
+            writer.append(r.pose)
+        if logger:
+            logger.log(r._asdict() | {"pose": None})
+        if verbose:
+            print(
+                f"frame {r.frame_id}: matched={r.num_matched} "
+                f"inliers={r.num_inliers} scale={r.scale:.3f} "
+                f"accept={r.accept} {r.frame_time_ms:.1f}ms"
+            )
+    if writer:
+        writer.close()
+    if logger:
+        logger.close()
+    return np.asarray(poses), results

@@ -1,0 +1,75 @@
+"""Checkpoint / resume for long multi-sequence runs.
+
+The reference has no checkpointing (SURVEY.md section 5); for batch KITTI
+evaluation across hosts we snapshot the full resumable state per sequence:
+the integrated pose, tracked-feature arrays, frame index, and RNG key. The
+prepared image pyramids are NOT stored — they are recomputed from the
+sequence images at resume (pure function of frame t0).
+
+Format: a single .npz per sequence; tiny (a few hundred KB), written
+atomically (tmp + rename) so a crash never leaves a torn snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+
+def save_checkpoint(path: str, vo, extra: Optional[dict] = None) -> None:
+    """Snapshot a VisualOdometry instance's resumable state."""
+    state = vo.state
+    payload = {
+        "frame_pose": vo.frame_pose,
+        "frame_id": np.int64(vo.frame_id),
+        "points": np.asarray(state.features.points),
+        "ages": np.asarray(state.features.ages),
+        "valid": np.asarray(state.features.valid),
+        "tvec": np.asarray(state.tvec),
+        "key": np.asarray(state.key),
+    }
+    for k, v in (extra or {}).items():
+        payload["extra_" + k] = np.asarray(v)
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> dict:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def restore_vo(vo, ckpt: dict, left_t0: np.ndarray, right_t0: np.ndarray) -> int:
+    """Restore a VisualOdometry instance; returns the next frame index.
+
+    left_t0/right_t0 must be the images of the checkpointed frame (pyramids
+    are rebuilt from them).
+    """
+    import jax.numpy as jnp
+
+    from visual_odom_tpu.frontend.featureset import FeatureState
+    from visual_odom_tpu.runner.pipeline import VOState, _lk_params
+    from visual_odom_tpu.ops.lk import prepare_lk_image
+
+    params = _lk_params(vo.config)
+    vo.frame_pose = np.asarray(ckpt["frame_pose"], np.float64)
+    vo.frame_id = int(ckpt["frame_id"])
+    vo.state = VOState(
+        features=FeatureState(
+            points=jnp.asarray(ckpt["points"]),
+            ages=jnp.asarray(ckpt["ages"]),
+            valid=jnp.asarray(ckpt["valid"]),
+        ),
+        lk_l0=prepare_lk_image(jnp.asarray(left_t0, jnp.float32), params),
+        lk_r0=prepare_lk_image(jnp.asarray(right_t0, jnp.float32), params),
+        tvec=jnp.asarray(ckpt["tvec"]),
+        key=jnp.asarray(ckpt["key"]),
+    )
+    return vo.frame_id + 1
