@@ -2,9 +2,9 @@
 
 import os, time, sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORMS"] = os.environ.get("VO_PLATFORM", "cpu")
 import jax
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", os.environ.get("VO_PLATFORM", "cpu"))
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/vo_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

@@ -101,3 +101,22 @@ def test_checkpoint_resume(e2e_run):
     r_b = vo2.process_frame(*frames[5])
     np.testing.assert_allclose(r_a.pose, r_b.pose, atol=1e-5)
     assert r_a.num_matched == r_b.num_matched
+
+
+def test_mono_rotation_mode_runs():
+    """mono_rotation=True routes rotation through the essential path
+    (reference src/visualOdometry.h:42 default; main passes false)."""
+    from visual_odom_tpu.config import CameraIntrinsics, VOConfig
+    from visual_odom_tpu.io.synthetic import SyntheticStereoSequence
+    from visual_odom_tpu.runner.pipeline import run_sequence
+    from visual_odom_tpu.eval.kitti_eval import ate_rmse
+
+    intr = CameraIntrinsics(
+        fx=120.0, fy=120.0, cx=W / 2, cy=H / 2, bf=-120.0 * 0.54,
+        width=W, height=H,
+    )
+    cfg = VOConfig.for_image(H, W, ransac_iterations=100, mono_rotation=True)
+    seq = SyntheticStereoSequence(intr, num_frames=6, seed=3, speed=0.5)
+    poses, results = run_sequence(seq, cfg, intr)
+    assert np.mean([r.accept for r in results]) >= 0.6
+    assert ate_rmse(seq.poses[: len(poses)], poses) < 0.3

@@ -1,0 +1,60 @@
+"""Pallas LK kernel vs the XLA reference implementation (interpret mode on
+CPU; the real-TPU compile path is exercised by bench.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from visual_odom_tpu.ops.lk import LKParams, lk_track_pyramid, prepare_lk_image
+from visual_odom_tpu.ops.lk_pallas import lk_track_pyramid_pallas
+
+from conftest import make_textured_image, warp_translate
+
+
+@pytest.fixture(scope="module")
+def tracked_pair():
+    img0 = make_textured_image(240, 320, seed=31)
+    img1 = warp_translate(img0, 2.7, -1.9)
+    p = LKParams()
+    li = prepare_lk_image(jnp.asarray(img0), p)
+    lj = prepare_lk_image(jnp.asarray(img1), p)
+
+    rng = np.random.default_rng(0)
+    pts = np.stack(
+        [rng.uniform(30, 290, 64), rng.uniform(30, 210, 64)], axis=1
+    ).astype(np.float32)
+    valid = np.ones(64, bool)
+    valid[-4:] = False
+    return li, lj, jnp.asarray(pts), jnp.asarray(valid), p
+
+
+def test_pallas_matches_xla_backend(tracked_pair):
+    li, lj, pts, valid, p = tracked_pair
+    ref_pts, ref_status = lk_track_pyramid(li, lj, pts, valid, p)
+    pal_pts, pal_status = lk_track_pyramid_pallas(li, lj, pts, valid, p,
+                                                  interpret=True)
+    ref_status = np.asarray(ref_status)
+    pal_status = np.asarray(pal_status)
+    np.testing.assert_array_equal(pal_status, ref_status)
+    d = np.abs(np.asarray(pal_pts) - np.asarray(ref_pts))[ref_status]
+    assert d.max() < 1e-3, d.max()
+
+
+def test_pallas_invalid_slots_passthrough(tracked_pair):
+    li, lj, pts, valid, p = tracked_pair
+    pal_pts, pal_status = lk_track_pyramid_pallas(li, lj, pts, valid, p,
+                                                  interpret=True)
+    v = np.asarray(valid)
+    assert not np.asarray(pal_status)[~v].any()
+    np.testing.assert_allclose(np.asarray(pal_pts)[~v], np.asarray(pts)[~v])
+
+
+def test_pallas_recovers_translation(tracked_pair):
+    li, lj, pts, valid, p = tracked_pair
+    pal_pts, pal_status = lk_track_pyramid_pallas(li, lj, pts, valid, p,
+                                                  interpret=True)
+    st = np.asarray(pal_status)
+    flow = (np.asarray(pal_pts) - np.asarray(pts))[st]
+    err = np.abs(flow - np.array([2.7, -1.9]))
+    assert np.median(err[:, 0]) < 0.1
+    assert np.median(err[:, 1]) < 0.1

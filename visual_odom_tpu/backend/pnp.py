@@ -66,25 +66,66 @@ def _gn_refine(pose6, X, x_obs, w, K, iters: int, damping: float = 1e-3):
     X: (M, 3), x_obs: (M, 2), w: (M,) weights in [0, 1]. Fixed `iters` steps
     (no convergence branch — XLA-friendly, extra steps are no-ops at the
     optimum).
+
+    Parametrization: SE(3) left-perturbation (R <- exp(dw) R, t <- t + dt)
+    with closed-form Jacobians — dp/ddw = -[p - t]_x, dp/ddt = I — instead
+    of autodiff through Rodrigues: all elementwise math plus one batched
+    6x6 solve per iteration, which is what vectorizes over hundreds of
+    RANSAC hypotheses on the MXU.
     """
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
 
-    def residual(p6):
-        r = (_project(p6, X, K) - x_obs) * w[:, None]
-        return r.reshape(-1)
+    def body(state, _):
+        R, t = state
+        p = jnp.matmul(X, R.T, precision=_HI) + t          # (M, 3)
+        z = jnp.where(jnp.abs(p[:, 2]) < 1e-9, 1e-9, p[:, 2])
+        inv_z = 1.0 / z
+        u = p[:, 0] * inv_z * fx + cx
+        v = p[:, 1] * inv_z * fy + cy
+        r = jnp.stack([u, v], axis=-1) - x_obs             # (M, 2)
 
-    def body(pose6, _):
-        r = residual(pose6)
-        J = jax.jacfwd(residual)(pose6)                       # (2M, 6)
-        JtJ = jnp.matmul(J.T, J, precision=_HI)
-        Jtr = jnp.matmul(J.T, r, precision=_HI)
-        A = JtJ + damping * jnp.eye(6, dtype=pose6.dtype)
-        step = jnp.linalg.solve(A, Jtr)
-        new = pose6 - step
-        ok = jnp.all(jnp.isfinite(new))
-        return jnp.where(ok, new, pose6), None
+        # du/dp, dv/dp rows (M, 3).
+        du = jnp.stack([fx * inv_z, jnp.zeros_like(z),
+                        -fx * p[:, 0] * inv_z * inv_z], axis=-1)
+        dv = jnp.stack([jnp.zeros_like(z), fy * inv_z,
+                        -fy * p[:, 1] * inv_z * inv_z], axis=-1)
+        # dp/ddelta = [-[q]_x | I] with q = R X = p - t.
+        q = p - t                                           # (M, 3)
+        zero = jnp.zeros_like(q[:, 0])
+        # -[q]_x rows: [[0, q3, -q2], [-q3, 0, q1], [q2, -q1, 0]].
+        neg_qx = jnp.stack(
+            [
+                jnp.stack([zero, q[:, 2], -q[:, 1]], -1),
+                jnp.stack([-q[:, 2], zero, q[:, 0]], -1),
+                jnp.stack([q[:, 1], -q[:, 0], zero], -1),
+            ],
+            axis=-2,
+        )                                                   # (M, 3, 3)
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=q.dtype), neg_qx.shape)
+        dp = jnp.concatenate([neg_qx, eye], axis=-1)        # (M, 3, 6)
+        Ju = jnp.einsum("mi,mik->mk", du, dp, precision=_HI)
+        Jv = jnp.einsum("mi,mik->mk", dv, dp, precision=_HI)
+        J = jnp.stack([Ju, Jv], axis=1) * w[:, None, None]  # (M, 2, 6)
+        rw = r * w[:, None]
 
-    pose6, _ = jax.lax.scan(body, pose6, None, length=iters)
-    return pose6
+        G = jnp.einsum("mri,mrj->ij", J, J, precision=_HI)
+        g = jnp.einsum("mri,mr->i", J, rw, precision=_HI)
+        A = G + damping * jnp.eye(6, dtype=G.dtype)
+        step = jnp.linalg.solve(A, g)
+        dw, dt = step[:3], step[3:]
+        R_new = jnp.matmul(rodrigues(-dw), R, precision=_HI)
+        t_new = t - dt
+        ok = jnp.all(jnp.isfinite(step))
+        R_out = jnp.where(ok, R_new, R)
+        t_out = jnp.where(ok, t_new, t)
+        return (R_out, t_out), None
+
+    R0 = rodrigues(pose6[:3])
+    (R, t), _ = jax.lax.scan(body, (R0, pose6[3:]), None, length=iters)
+    from visual_odom_tpu.core.lie import rodrigues_inverse
+
+    return jnp.concatenate([rodrigues_inverse(R), t])
 
 
 @partial(

@@ -75,7 +75,15 @@ class LKImage:
 
 
 def _pad_reflect(img: jnp.ndarray, pad: int) -> jnp.ndarray:
-    return jnp.pad(img, ((pad, pad), (pad, pad)), mode="reflect")
+    p = jnp.pad(img, ((pad, pad), (pad, pad)), mode="reflect")
+    # Extra zero padding bottom/right for the Pallas kernel's aligned window
+    # loads: rows to a multiple of 8 with >= 10 rows of slack (32-row aligned
+    # loads from row floor(sy/8)*8), lanes to a multiple of 128. Outside the
+    # legal gather region for both backends, so numerics are unaffected.
+    Hp, Wp = p.shape
+    H_tot = -(-(Hp + 10) // 8) * 8
+    W_tot = -(-(Wp + 234) // 128) * 128  # lane-aligned 256-wide loads
+    return jnp.pad(p, ((0, H_tot - Hp), (0, W_tot - Wp)))
 
 
 @partial(jax.jit, static_argnames=("params",))

@@ -133,8 +133,25 @@ def make_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
             refine_iters=config.pnp_refine_iters,
         )
 
+        # -- optional mono rotation (reference src/visualOdometry.cpp:152-157:
+        # rotation from findEssentialMat/recoverPose, translation from PnP;
+        # Rodrigues on the PnP rvec is skipped in that mode :186-189) --------
+        rvec_out = pnp.rvec
+        if config.mono_rotation:
+            from visual_odom_tpu.backend.essential import find_essential_ransac
+            from visual_odom_tpu.core.lie import rodrigues_inverse
+
+            key2, sub2 = jax.random.split(key)
+            ess = find_essential_ransac(
+                match.points_l0, match.points_l1, match.valid,
+                float(intrinsics.fx), (float(intrinsics.cx), float(intrinsics.cy)),
+                sub2,
+            )
+            rvec_out = rodrigues_inverse(ess.R)
+            key = key2
+
         # -- gating ----------------------------------------------------------
-        gate = gate_and_integrate(pnp.rvec, pnp.tvec)
+        gate = gate_and_integrate(rvec_out, pnp.tvec)
 
         new_state = VOState(
             features=commit_tracked_state(match),
@@ -149,7 +166,7 @@ def make_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
             accept=gate.accept,
             scale=gate.scale,
             euler=gate.euler,
-            rvec=pnp.rvec,
+            rvec=rvec_out,
             tvec=pnp.tvec,
             num_inliers=pnp.num_inliers,
             num_matched=jnp.sum(match.valid).astype(jnp.int32),
