@@ -171,6 +171,17 @@ class VOConfig:
     # --- precision ---
     compute_dtype: str = "float32"
 
+    # --- LK backend: "pallas" (TPU Mosaic kernel), "xla" (vmapped
+    # while_loop), or None = auto (pallas on TPU, xla elsewhere) ---
+    lk_backend: Optional[str] = None
+
+    def resolved_lk_backend(self) -> str:
+        if self.lk_backend is not None:
+            return self.lk_backend
+        import jax
+
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+
     # ------------------------------------------------------------------
     @property
     def bucket_size(self) -> int:

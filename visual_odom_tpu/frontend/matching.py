@@ -42,7 +42,7 @@ class CircularMatchResult(NamedTuple):
     ages: jnp.ndarray           # (N,) — incremented survivor ages
 
 
-@partial(jax.jit, static_argnames=("params", "circle_threshold"))
+@partial(jax.jit, static_argnames=("params", "circle_threshold", "backend"))
 def circular_match(
     img_l0: LKImage,
     img_r0: LKImage,
@@ -51,20 +51,32 @@ def circular_match(
     bucketed: FeatureState,
     params: LKParams = LKParams(),
     circle_threshold: float = 0.0,
+    backend: str = "xla",
 ) -> CircularMatchResult:
     """Track the bucketed features around the quad and filter.
 
     The reference tracks every feature through all four legs regardless of
     intermediate status (statuses are only combined at the end,
     src/feature.cpp:136-144); we do the same so positions match.
+
+    ``backend`` selects the LK engine: "pallas" (the Mosaic TPU kernel,
+    ~8x faster on a v5e) or "xla" (portable vmapped while_loop). Both share
+    numerics; tests assert parity.
     """
     pts_l0 = bucketed.points
     valid_in = bucketed.valid
 
-    pts_r0, s0 = lk_track_pyramid(img_l0, img_r0, pts_l0, valid_in, params)
-    pts_r1, s1 = lk_track_pyramid(img_r0, img_r1, pts_r0, valid_in, params)
-    pts_l1, s2 = lk_track_pyramid(img_r1, img_l1, pts_r1, valid_in, params)
-    pts_ret, s3 = lk_track_pyramid(img_l1, img_l0, pts_l1, valid_in, params)
+    if backend == "pallas":
+        from visual_odom_tpu.ops.lk_pallas import lk_track_pyramid_pallas
+
+        track = partial(lk_track_pyramid_pallas, params=params)
+    else:
+        track = partial(lk_track_pyramid, params=params)
+
+    pts_r0, s0 = track(img_l0, img_r0, pts_l0, valid_in)
+    pts_r1, s1 = track(img_r0, img_r1, pts_r0, valid_in)
+    pts_l1, s2 = track(img_r1, img_l1, pts_r1, valid_in)
+    pts_ret, s3 = track(img_l1, img_l0, pts_l1, valid_in)
 
     def nonneg(p):
         return (p[:, 0] >= 0) & (p[:, 1] >= 0)

@@ -93,6 +93,7 @@ def make_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
     P_r = intrinsics.proj_right()
     K = intrinsics.intrinsic_matrix()
     params = _lk_params(config)
+    lk_backend = config.resolved_lk_backend()
 
     def step(state: VOState, left_t1: jnp.ndarray, right_t1: jnp.ndarray):
         # -- prepare this frame's pyramids (reused next frame as t0) --------
@@ -108,7 +109,7 @@ def make_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
         # -- circular matching across the quad ------------------------------
         match = circular_match(
             state.lk_l0, state.lk_r0, lk_l1, lk_r1, bucketed,
-            params, config.circle_threshold,
+            params, config.circle_threshold, lk_backend,
         )
 
         # -- triangulation of t0 stereo pairs -------------------------------
@@ -311,6 +312,102 @@ def run_sequence_buffered(
     wall = time.perf_counter() - t0
 
     fetched = jax.tree.map(np.asarray, bufs)
+    poses = chain_poses_host(fetched.T_inv, fetched.accept)
+    return poses, fetched, wall
+
+
+def make_scan_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
+                      chunk: int):
+    """Process `chunk` frames in ONE device dispatch via lax.scan.
+
+    The TPU-native sequence runner: frames ride to the device as a
+    (chunk, H, W) uint8 stack, the compiled program scans the per-frame step
+    over them, and per-frame outputs come back stacked. One dispatch per
+    chunk removes the per-frame host->device round trip entirely (the axon
+    tunnel charges milliseconds per dispatch), and XLA can overlap the
+    next frame's pyramid build with the current frame's solve.
+    """
+    base = _make_raw_step(config, intrinsics)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def scan_chunk(state: VOState, lefts: jnp.ndarray, rights: jnp.ndarray):
+        def body(s, lr):
+            left, right = lr
+            s, out = base(s, left, right)
+            return s, out
+
+        return jax.lax.scan(body, state, (lefts, rights))
+
+    return scan_chunk
+
+
+def init_vo_state(config: VOConfig, intrinsics: CameraIntrinsics,
+                  left0, right0, seed: int = 0) -> VOState:
+    """One jitted state construction from frame 0 (single dispatch)."""
+    params = _lk_params(config)
+
+    @jax.jit
+    def _init(l0, r0, seed):
+        return VOState(
+            features=empty_feature_state(config.padded_features),
+            lk_l0=prepare_lk_image(l0.astype(jnp.float32), params),
+            lk_r0=prepare_lk_image(r0.astype(jnp.float32), params),
+            tvec=jnp.zeros(3, jnp.float32),
+            key=jax.random.PRNGKey(seed),
+        )
+
+    return _init(jnp.asarray(left0), jnp.asarray(right0), seed)
+
+
+def run_sequence_scan(
+    frames,
+    config: VOConfig,
+    intrinsics: CameraIntrinsics,
+    seed: int = 0,
+    chunk: int = 32,
+    warmup: bool = True,
+):
+    """Chunked-scan sequence runner — the throughput front door.
+
+    Returns (poses (N+1, 4, 4) f64, fetched StepOutput stack as numpy,
+    wall_seconds) where wall_seconds covers the steady-state device pipeline
+    (compile + first-execution program load excluded when ``warmup``).
+    """
+    frames = list(frames)
+    n = len(frames) - 1
+    scan = make_scan_step_fn(config, intrinsics, chunk)
+
+    lefts = np.stack([np.asarray(l) for l, _ in frames[1:]])
+    rights = np.stack([np.asarray(r) for _, r in frames[1:]])
+    pad_to = -(-n // chunk) * chunk
+    if pad_to != n:
+        lefts = np.concatenate([lefts, np.repeat(lefts[-1:], pad_to - n, 0)])
+        rights = np.concatenate([rights, np.repeat(rights[-1:], pad_to - n, 0)])
+
+    dev_l = [jax.device_put(lefts[i:i + chunk]) for i in range(0, pad_to, chunk)]
+    dev_r = [jax.device_put(rights[i:i + chunk]) for i in range(0, pad_to, chunk)]
+
+    state = init_vo_state(config, intrinsics, frames[0][0], frames[0][1], seed)
+
+    if warmup:
+        # Compile + load the program with a throwaway state; real state is
+        # rebuilt after (init is cheap, the scan program is the expensive
+        # bit). Donation means dev_l[0] is NOT donated (only state is).
+        wstate = init_vo_state(config, intrinsics, frames[0][0], frames[0][1],
+                               seed)
+        wstate, wout = scan(wstate, dev_l[0], dev_r[0])
+        jax.tree.map(np.asarray, wout)  # full sync incl. program load
+
+    t0 = time.perf_counter()
+    outs = []
+    for dl, dr in zip(dev_l, dev_r):
+        state, out = scan(state, dl, dr)
+        outs.append(out)
+    final = jax.tree.map(np.asarray, outs[-1])  # sync
+    wall = time.perf_counter() - t0
+
+    fetched_list = [jax.tree.map(np.asarray, o) for o in outs[:-1]] + [final]
+    fetched = jax.tree.map(lambda *xs: np.concatenate(xs)[:n], *fetched_list)
     poses = chain_poses_host(fetched.T_inv, fetched.accept)
     return poses, fetched, wall
 
