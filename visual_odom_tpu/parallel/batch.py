@@ -81,11 +81,10 @@ def batched_init_state(config: VOConfig, lefts: np.ndarray, rights: np.ndarray,
     params = _lk_params(config)
     B = lefts.shape[0]
     with jax.sharding.set_mesh(mesh):
+        from visual_odom_tpu.runner.pipeline import prep_image
+
         prep = jax.jit(jax.vmap(
-            lambda l, r: (
-                prepare_lk_image(l.astype(jnp.float32), params),
-                prepare_lk_image(r.astype(jnp.float32), params),
-            )
+            lambda l, r: (prep_image(l, config), prep_image(r, config))
         ))
         lk_l0, lk_r0 = prep(jnp.asarray(lefts), jnp.asarray(rights))
         keys = jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(B, dtype=jnp.uint32))

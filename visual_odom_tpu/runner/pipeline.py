@@ -83,6 +83,15 @@ def _lk_params(config: VOConfig) -> LKParams:
     )
 
 
+def prep_image(img, config: VOConfig) -> LKImage:
+    """prepare_lk_image with the backend-appropriate derivative policy
+    (the Pallas kernel derives Scharr gradients in-kernel; only the XLA
+    backend reads the precomputed ix/iy planes). Every pipeline call site
+    must use this so VOState stays structurally uniform under scan/donation."""
+    return prepare_lk_image(img.astype(jnp.float32), _lk_params(config),
+                            with_derivs=config.resolved_lk_backend() == "xla")
+
+
 def make_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
                  with_tracks: bool = False, _jit: bool = True):
     """Build the jitted per-frame step for a static (config, intrinsics)."""
@@ -97,8 +106,8 @@ def make_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
 
     def step(state: VOState, left_t1: jnp.ndarray, right_t1: jnp.ndarray):
         # -- prepare this frame's pyramids (reused next frame as t0) --------
-        lk_l1 = prepare_lk_image(left_t1.astype(jnp.float32), params)
-        lk_r1 = prepare_lk_image(right_t1.astype(jnp.float32), params)
+        lk_l1 = prep_image(left_t1, config)
+        lk_r1 = prep_image(right_t1, config)
 
         # -- detection + bucketing on L(t0) ---------------------------------
         pad = state.lk_l0.pad
@@ -292,8 +301,8 @@ def run_sequence_buffered(
         return (
             VOState(
                 features=empty_feature_state(config.padded_features),
-                lk_l0=prepare_lk_image(l0.astype(jnp.float32), params),
-                lk_r0=prepare_lk_image(r0.astype(jnp.float32), params),
+                lk_l0=prep_image(l0, config),
+                lk_r0=prep_image(r0, config),
                 tvec=jnp.zeros(3, jnp.float32),
                 key=jax.random.PRNGKey(seed),
             ),
@@ -350,8 +359,8 @@ def init_vo_state(config: VOConfig, intrinsics: CameraIntrinsics,
     def _init(l0, r0, seed):
         return VOState(
             features=empty_feature_state(config.padded_features),
-            lk_l0=prepare_lk_image(l0.astype(jnp.float32), params),
-            lk_r0=prepare_lk_image(r0.astype(jnp.float32), params),
+            lk_l0=prep_image(l0, config),
+            lk_r0=prep_image(r0, config),
             tvec=jnp.zeros(3, jnp.float32),
             key=jax.random.PRNGKey(seed),
         )
@@ -409,7 +418,9 @@ def run_sequence_scan(
     fetched_list = [jax.tree.map(np.asarray, o) for o in outs[:-1]] + [final]
     fetched = jax.tree.map(lambda *xs: np.concatenate(xs)[:n], *fetched_list)
     poses = chain_poses_host(fetched.T_inv, fetched.accept)
-    return poses, fetched, wall
+    # pad_to = frames the device actually processed (the tail chunk repeats
+    # the last frame); throughput accounting should divide by this.
+    return poses, fetched, wall, pad_to
 
 
 def _make_raw_step(config: VOConfig, intrinsics: CameraIntrinsics):
@@ -462,8 +473,8 @@ class VisualOdometry:
 
     def initialize(self, left0: np.ndarray, right0: np.ndarray) -> None:
         """Load frame 0 (reference src/main.cpp:110-113)."""
-        lk_l0 = prepare_lk_image(jnp.asarray(left0, jnp.float32), self._params)
-        lk_r0 = prepare_lk_image(jnp.asarray(right0, jnp.float32), self._params)
+        lk_l0 = prep_image(jnp.asarray(left0), self.config)
+        lk_r0 = prep_image(jnp.asarray(right0), self.config)
         self.state = VOState(
             features=empty_feature_state(self.config.padded_features),
             lk_l0=lk_l0,
