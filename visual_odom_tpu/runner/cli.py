@@ -102,12 +102,31 @@ def _cmd_eval(args) -> int:
     score = evaluate_sequence(gt[:n], res[:n])
     print(json.dumps(score, indent=2))
     if args.errors_out:
-        segs = calc_sequence_errors(gt[:n], res[:n])
-        with open(args.errors_out, "w") as f:
-            for e in segs:  # saveSequenceErrors row format (:118-130)
-                f.write(f"{e.first_frame} {e.r_err:f} {e.t_err:f} "
-                        f"{e.length:f} {e.speed:f}\n")
+        from visual_odom_tpu.eval.devkit import save_sequence_errors
+
+        save_sequence_errors(calc_sequence_errors(gt[:n], res[:n]),
+                             args.errors_out)
+    if args.artifacts_dir:
+        from visual_odom_tpu.eval.devkit import eval_sequence_artifacts
+
+        eval_sequence_artifacts(gt[:n], res[:n], args.artifacts_dir,
+                                seq_name=args.seq_name)
     return 0
+
+
+def _cmd_eval_all(args) -> int:
+    from visual_odom_tpu.eval.devkit import eval_all
+    from visual_odom_tpu.utils.notify import Notifier
+
+    results = eval_all(
+        args.gt_dir, args.result_dir, args.out_dir,
+        sequences=args.sequences or None,
+        notifier=Notifier(email=args.email or ""),
+        plots=not args.no_plots,
+    )
+    with open(f"{args.out_dir}/summary.json", "w") as f:
+        json.dump(results, f, indent=2)
+    return 0 if results else 1
 
 
 def _cmd_bench(args) -> int:
@@ -138,8 +157,24 @@ def main(argv=None) -> int:
     pe.add_argument("--gt", required=True)
     pe.add_argument("--result", required=True)
     pe.add_argument("--errors-out", help="devkit-format per-segment errors")
+    pe.add_argument("--artifacts-dir",
+                    help="write full devkit artifacts (errors/plots/stats)")
+    pe.add_argument("--seq-name", default="00",
+                    help="sequence name for artifact files")
     pe.add_argument("--allow-partial", action="store_true")
     pe.set_defaults(fn=_cmd_eval)
+
+    pa = sub.add_parser(
+        "eval-all",
+        help="devkit eval() over a results directory (seqs scored vs GT)")
+    pa.add_argument("--gt-dir", required=True)
+    pa.add_argument("--result-dir", required=True)
+    pa.add_argument("--out-dir", required=True)
+    pa.add_argument("--sequences", nargs="*",
+                    help="sequence names (default: every <seq>.txt found)")
+    pa.add_argument("--email", help="notify via sendmail when available")
+    pa.add_argument("--no-plots", action="store_true")
+    pa.set_defaults(fn=_cmd_eval_all)
 
     pb = sub.add_parser("bench", help="run the benchmark harness")
     pb.add_argument("--quick", action="store_true")
