@@ -90,10 +90,12 @@ class V4L2StereoCamera(_SaveFramesMixin):
     Intel_V4L2 (src/rgbd_standalone.cpp:57-228): a Y8I-packed /dev/video
     stream deinterleaved into left (low byte) / right (high byte) planes.
 
-    Implemented against the v4l2 ioctl layer via ctypes when available; this
-    host has no camera hardware, so construction fails fast with a clear
-    error rather than at first capture. The deinterleave (`split_y8i`) is
-    pure and unit-tested.
+    Capture goes through the native C++ V4L2 unit (native/v4l2_capture.cpp,
+    MMAP streaming + poll) via ctypes. On hosts without the device node it
+    fails fast at construction with a clear error rather than at first
+    capture. The deinterleave (`split_y8i`) is pure and unit-tested; its
+    native twin (`cvo_deinterlace_y8i`) is cross-checked in
+    tests/test_native.py.
     """
 
     def __init__(self, device: str = "/dev/video1", width: int = 640,
@@ -102,10 +104,18 @@ class V4L2StereoCamera(_SaveFramesMixin):
             raise FileNotFoundError(
                 f"V4L2 device {device} not present on this host"
             )
-        raise NotImplementedError(
-            "live V4L2 capture requires camera hardware; use FakeCamera or "
-            "ImageDirCamera"
-        )
+        from visual_odom_tpu.io.native import NativeV4L2Camera
+
+        self._cam = NativeV4L2Camera(device, width, height,
+                                     discard=warmup_frames)
+
+    def get_lr_frames(self) -> tuple[np.ndarray, np.ndarray]:
+        pair = self._cam.get_lr_frames()
+        self._maybe_save(*pair)
+        return pair
+
+    def close(self) -> None:
+        self._cam.close()
 
     @staticmethod
     def split_y8i(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -22,7 +22,18 @@ import numpy as np
 
 
 def _imread_gray(path: str) -> np.ndarray:
-    """Grayscale image load matching cv::imread + BGR2GRAY rounding."""
+    """Grayscale image load matching cv::imread + BGR2GRAY rounding.
+
+    Prefers the native C++ decoder (native/png_decode.cpp, same BT.601
+    fixed-point weights); falls back to cv2, then PIL."""
+    if path.endswith(".png"):
+        from visual_odom_tpu.io import native
+
+        if native.available():
+            try:
+                return native.decode_png_gray(path)
+            except OSError:
+                pass  # unsupported PNG flavor -> Python fallbacks
     try:
         import cv2
 
@@ -61,6 +72,38 @@ class KittiSequence:
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         for i in range(self.num_frames):
             yield self.frame(i)
+
+    def iter_prefetched(self, n_threads: int = 4, capacity: int = 16,
+                        max_frames: int = 0,
+                        ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Stream frames through the native multithreaded prefetcher
+        (native/prefetch.cpp) so PNG decode overlaps device compute.
+        Falls back to synchronous iteration without the native runtime.
+        One ring over L0,R0,L1,R1,... keeps stereo pairs in lockstep."""
+        n = self.num_frames if not max_frames else min(self.num_frames,
+                                                       max_frames)
+        from visual_odom_tpu.io import native
+
+        if not native.available():
+            for i in range(n):
+                yield self.frame(i)
+            return
+        paths = []
+        for i in range(n):
+            paths.append(os.path.join(self.left_dir, f"{i:06d}.png"))
+            paths.append(os.path.join(self.right_dir, f"{i:06d}.png"))
+        loader = native.PrefetchingLoader(paths, n_threads=n_threads,
+                                          capacity=capacity)
+        try:
+            while True:
+                a = loader.next_frame()
+                if a is None:
+                    return
+                b = loader.next_frame()
+                assert b is not None, "odd frame count in stereo stream"
+                yield a[1], b[1]
+        finally:
+            loader.close()
 
 
 def load_poses(path: str) -> np.ndarray:

@@ -57,14 +57,9 @@ def _cmd_run(args) -> int:
         left0, _ = kseq.frame(0)
         h, w = left0.shape
 
-        def _frames():
-            n = len(kseq)
-            if args.max_frames:
-                n = min(n, args.max_frames)
-            for i in range(n):
-                yield kseq.frame(i)
-
-        frames = _frames()
+        # Stream through the native prefetcher when built (decode overlaps
+        # device compute); falls back to synchronous reads inside.
+        frames = kseq.iter_prefetched(max_frames=args.max_frames)
         gt = load_poses(args.ground_truth) if args.ground_truth else None
 
     cfg = VOConfig.for_image(h, w)
