@@ -63,14 +63,34 @@ def _cmd_run(args) -> int:
         gt = load_poses(args.ground_truth) if args.ground_truth else None
 
     cfg = VOConfig.for_image(h, w)
-    poses, results = run_sequence(
-        frames,
-        cfg,
-        intr,
-        metrics_path=args.metrics,
-        poses_path=args.output,
-        verbose=not args.quiet,
-    )
+    if args.checkpoint:
+        from visual_odom_tpu.runner.pipeline import run_sequence_resumable
+
+        seq_obj = locals().get("kseq") or locals().get("seq")
+        if seq_obj is None or not hasattr(seq_obj, "frame"):
+            print("--checkpoint needs a random-access sequence "
+                  "(KITTI dir or synthetic)")
+            return 1
+        poses, results = run_sequence_resumable(
+            seq_obj,
+            cfg,
+            intr,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+            max_frames=args.max_frames,
+            metrics_path=args.metrics,
+            poses_path=args.output,
+            verbose=not args.quiet,
+        )
+    else:
+        poses, results = run_sequence(
+            frames,
+            cfg,
+            intr,
+            metrics_path=args.metrics,
+            poses_path=args.output,
+            verbose=not args.quiet,
+        )
 
     if args.trajectory_png:
         save_png(args.trajectory_png, render_trajectory(poses, gt))
@@ -145,6 +165,10 @@ def main(argv=None) -> int:
     pr.add_argument("--metrics", help="write JSONL per-frame metrics here")
     pr.add_argument("--trajectory-png", help="write bird's-eye trajectory PNG")
     pr.add_argument("--max-frames", type=int, default=0)
+    pr.add_argument("--checkpoint",
+                    help="checkpoint file; resumes from it when present")
+    pr.add_argument("--checkpoint-every", type=int, default=100,
+                    help="snapshot interval in frames")
     pr.add_argument("--quiet", action="store_true")
     pr.set_defaults(fn=_cmd_run)
 

@@ -562,3 +562,77 @@ def run_sequence(
     if logger:
         logger.close()
     return np.asarray(poses), results
+
+
+def run_sequence_resumable(
+    seq,
+    config: VOConfig,
+    intrinsics: CameraIntrinsics,
+    checkpoint_path: str,
+    checkpoint_every: int = 100,
+    seed: int = 0,
+    max_frames: int = 0,
+    metrics_path: Optional[str] = None,
+    poses_path: Optional[str] = None,
+    verbose: bool = False,
+) -> tuple[np.ndarray, list[FrameResult]]:
+    """run_sequence over a random-access sequence (``.frame(i)``/``len``)
+    with periodic checkpointing and crash resume (SURVEY.md section 5,
+    checkpoint/resume — the reference has none).
+
+    The snapshot stores the full resumable VO state plus the integrated
+    pose trail, so a resumed run reproduces an uninterrupted one bit-for-bit
+    (the RNG key advances inside the jitted step and is saved with it).
+    """
+    import os
+
+    from visual_odom_tpu.utils.checkpoint import (
+        load_checkpoint,
+        restore_vo,
+        save_checkpoint,
+    )
+    from visual_odom_tpu.utils.metrics import MetricsLogger
+
+    n = len(seq) if not max_frames else min(len(seq), max_frames)
+    vo = VisualOdometry(config, intrinsics, seed=seed)
+    start = 1
+    poses = [np.eye(4)]
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        ckpt = load_checkpoint(checkpoint_path)
+        k = int(ckpt["frame_id"])
+        left_k, right_k = seq.frame(k)
+        start = restore_vo(vo, ckpt, left_k, right_k)
+        poses = list(np.asarray(ckpt["extra_poses"]))
+        if verbose:
+            print(f"resumed from {checkpoint_path} at frame {k}")
+    else:
+        left0, right0 = seq.frame(0)
+        vo.initialize(left0, right0)
+
+    logger = MetricsLogger(metrics_path) if metrics_path else None
+    results: list[FrameResult] = []
+    for i in range(start, n):
+        left, right = seq.frame(i)
+        r = vo.process_frame(left, right)
+        poses.append(r.pose)
+        results.append(r)
+        if logger:
+            logger.log(r._asdict() | {"pose": None})
+        if verbose:
+            print(
+                f"frame {r.frame_id}: matched={r.num_matched} "
+                f"inliers={r.num_inliers} scale={r.scale:.3f} "
+                f"accept={r.accept} {r.frame_time_ms:.1f}ms"
+            )
+        if checkpoint_path and checkpoint_every and (
+                i % checkpoint_every == 0 or i == n - 1):
+            save_checkpoint(checkpoint_path, vo,
+                            extra={"poses": np.stack(poses)})
+    if logger:
+        logger.close()
+    arr = np.asarray(poses)
+    if poses_path:
+        from visual_odom_tpu.io.kitti import save_poses_kitti
+
+        save_poses_kitti(poses_path, arr)
+    return arr, results

@@ -55,20 +55,20 @@ def restore_vo(vo, ckpt: dict, left_t0: np.ndarray, right_t0: np.ndarray) -> int
     import jax.numpy as jnp
 
     from visual_odom_tpu.frontend.featureset import FeatureState
-    from visual_odom_tpu.runner.pipeline import VOState, _lk_params
-    from visual_odom_tpu.ops.lk import prepare_lk_image
+    from visual_odom_tpu.runner.pipeline import VOState, prep_image
 
-    params = _lk_params(vo.config)
     vo.frame_pose = np.asarray(ckpt["frame_pose"], np.float64)
     vo.frame_id = int(ckpt["frame_id"])
+    # Pyramids rebuilt exactly as the pipeline builds them (prep_image picks
+    # the deriv layout matching the configured LK backend).
     vo.state = VOState(
         features=FeatureState(
             points=jnp.asarray(ckpt["points"]),
             ages=jnp.asarray(ckpt["ages"]),
             valid=jnp.asarray(ckpt["valid"]),
         ),
-        lk_l0=prepare_lk_image(jnp.asarray(left_t0, jnp.float32), params),
-        lk_r0=prepare_lk_image(jnp.asarray(right_t0, jnp.float32), params),
+        lk_l0=prep_image(jnp.asarray(left_t0), vo.config),
+        lk_r0=prep_image(jnp.asarray(right_t0), vo.config),
         tvec=jnp.asarray(ckpt["tvec"]),
         key=jnp.asarray(ckpt["key"]),
     )
