@@ -90,6 +90,8 @@ def _cmd_run(args) -> int:
             metrics_path=args.metrics,
             poses_path=args.output,
             verbose=not args.quiet,
+            tracks_dir=args.tracks_dir,
+            tracks_every=args.tracks_every,
         )
 
     if args.trajectory_png:
@@ -144,6 +146,50 @@ def _cmd_eval_all(args) -> int:
     return 0 if results else 1
 
 
+def _cmd_run_batch(args) -> int:
+    """Data-parallel lockstep run of several sequences over a device mesh
+    (BASELINE.json eval config 5)."""
+    import os
+
+    from visual_odom_tpu.config import VOConfig, load_calibration
+    from visual_odom_tpu.eval.kitti_eval import evaluate_sequence
+    from visual_odom_tpu.io.kitti import (
+        KittiSequence,
+        load_poses,
+        save_poses_kitti,
+    )
+    from visual_odom_tpu.parallel.batch_eval import run_sequences_batched
+    from visual_odom_tpu.parallel.mesh import data_model_mesh
+
+    intr = load_calibration(args.calibration)
+    seqs, names = [], []
+    for d in args.sequences:
+        kseq = KittiSequence(d)
+        frames = list(kseq)[:args.max_frames or None]
+        seqs.append(frames)
+        names.append(os.path.basename(os.path.normpath(d)))
+    h, w = seqs[0][0][0].shape
+    cfg = VOConfig.for_image(h, w)
+    mesh = data_model_mesh(data=args.data_parallel or None)
+    poses_list, stats, wall = run_sequences_batched(seqs, cfg, intr, mesh)
+    total_frames = sum(len(s) for s in seqs)
+    print(f"{total_frames} frames / {len(seqs)} sequences in {wall:.1f}s "
+          f"({total_frames / wall:.1f} frames/s aggregate)")
+    os.makedirs(args.out_dir, exist_ok=True)
+    summary = {}
+    for name, poses in zip(names, poses_list):
+        save_poses_kitti(os.path.join(args.out_dir, f"{name}.txt"), poses)
+        if args.gt_dir:
+            gt_path = os.path.join(args.gt_dir, f"{name}.txt")
+            if os.path.exists(gt_path):
+                gt = load_poses(gt_path)
+                n = min(len(gt), len(poses))
+                summary[name] = evaluate_sequence(gt[:n], poses[:n])
+    if summary:
+        print(json.dumps(summary, indent=2))
+    return 0
+
+
 def _cmd_bench(args) -> int:
     import subprocess
 
@@ -169,8 +215,23 @@ def main(argv=None) -> int:
                     help="checkpoint file; resumes from it when present")
     pr.add_argument("--checkpoint-every", type=int, default=100,
                     help="snapshot interval in frames")
+    pr.add_argument("--tracks-dir",
+                    help="write displayTracking-style overlay PNGs here")
+    pr.add_argument("--tracks-every", type=int, default=50)
     pr.add_argument("--quiet", action="store_true")
     pr.set_defaults(fn=_cmd_run)
+
+    prb = sub.add_parser(
+        "run-batch",
+        help="run several sequences in lockstep over a device mesh (DP)")
+    prb.add_argument("sequences", nargs="+", help="KITTI sequence dirs")
+    prb.add_argument("--calibration", required=True)
+    prb.add_argument("--out-dir", required=True)
+    prb.add_argument("--gt-dir", help="score each sequence against GT here")
+    prb.add_argument("--data-parallel", type=int, default=0,
+                     help="data-axis size (default: all devices)")
+    prb.add_argument("--max-frames", type=int, default=0)
+    prb.set_defaults(fn=_cmd_run_batch)
 
     pe = sub.add_parser("eval", help="KITTI devkit scoring")
     pe.add_argument("--gt", required=True)

@@ -521,17 +521,26 @@ def run_sequence(
     metrics_path: Optional[str] = None,
     poses_path: Optional[str] = None,
     verbose: bool = False,
+    tracks_dir: Optional[str] = None,
+    tracks_every: int = 50,
 ) -> tuple[np.ndarray, list[FrameResult]]:
     """Run VO over an iterable of (left, right) frames.
 
     Returns ((N, 4, 4) float64 poses including identity frame 0, results).
+    With ``tracks_dir``, writes a displayTracking-style overlay PNG
+    (reference src/visualOdometry.cpp:195-224) every ``tracks_every`` frames.
     """
     from visual_odom_tpu.utils.metrics import MetricsLogger
 
     it = iter(frames)
     left0, right0 = next(it)
-    vo = VisualOdometry(config, intrinsics, seed=seed)
+    vo = VisualOdometry(config, intrinsics, seed=seed,
+                        with_tracks=bool(tracks_dir))
     vo.initialize(left0, right0)
+    if tracks_dir:
+        import os as _os
+
+        _os.makedirs(tracks_dir, exist_ok=True)
 
     logger = MetricsLogger(metrics_path) if metrics_path else None
     writer = None
@@ -547,6 +556,14 @@ def run_sequence(
         r = vo.process_frame(left, right)
         poses.append(r.pose)
         results.append(r)
+        if tracks_dir and (r.frame_id % tracks_every == 0
+                           or r.frame_id == 1):
+            from visual_odom_tpu.eval.plot import render_tracks, save_png
+
+            tr = vo.last_tracks
+            save_png(f"{tracks_dir}/tracks_{r.frame_id:06d}.png",
+                     render_tracks(np.asarray(left), tr.points_l0,
+                                   tr.points_l1, np.asarray(tr.valid)))
         if writer:
             writer.append(r.pose)
         if logger:
