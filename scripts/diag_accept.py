@@ -1,5 +1,10 @@
 """Diagnose gate rejections on the KITTI-size synthetic bench sequence."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from visual_odom_tpu.config import CameraIntrinsics, VOConfig

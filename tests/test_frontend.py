@@ -18,6 +18,8 @@ def put_features(points, ages):
         points=st.points.at[:n].set(jnp.asarray(points, jnp.float32)),
         ages=st.ages.at[:n].set(jnp.asarray(ages, jnp.int32)),
         valid=st.valid.at[:n].set(True),
+        ids=st.ids.at[:n].set(jnp.arange(n, dtype=jnp.int32)),
+        next_id=jnp.int32(n),
     )
 
 

@@ -99,6 +99,7 @@ def detect_and_bucket(
     best_slot = (N - 1 - (jnp.maximum(cell_best, 0) % N)).astype(jnp.int32)
     tracked_pts = state.points[best_slot]          # (G, 2)
     tracked_ages = state.ages[best_slot]
+    tracked_ids = state.ids[best_slot]
 
     # ---- combine: tracked feature beats fresh corner ----------------------
     out_pts = jnp.where(
@@ -108,10 +109,17 @@ def detect_and_bucket(
     )
     out_ages = jnp.where(has_tracked, tracked_ages, 0)
     out_valid = has_tracked | has_corner
+    # Fresh corners draw ids from the allocation cursor; cell offsets keep
+    # them unique within the frame (gaps for tracked-won cells are fine).
+    fresh_ids = state.next_id + cell_ids
+    out_ids = jnp.where(has_tracked, tracked_ids,
+                        jnp.where(has_corner, fresh_ids, -1))
 
     pad = P - G
     return FeatureState(
         points=jnp.pad(out_pts, ((0, pad), (0, 0))),
         ages=jnp.pad(out_ages, ((0, pad),)),
         valid=jnp.pad(out_valid, ((0, pad),)),
+        ids=jnp.pad(out_ids, ((0, pad),), constant_values=-1),
+        next_id=state.next_id + G,
     )

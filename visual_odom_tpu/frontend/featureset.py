@@ -29,11 +29,20 @@ class FeatureState(NamedTuple):
     ages:   (N,) int32 — frames survived (incremented on every successful
             circular match, reference src/feature.cpp:83-86).
     valid:  (N,) bool — slot liveness mask.
+    ids:    (N,) int32 — persistent per-feature track id, carried as a
+            feature moves between grid-cell slots across frames. The
+            reference declares (and never uses) per-feature ids
+            (FeaturePoint::id, src/feature.h:27-31); here they are
+            load-bearing: multi-frame observation tracks for windowed
+            bundle adjustment are keyed by id. -1 = dead slot.
+    next_id: () int32 — allocation cursor for fresh detections.
     """
 
     points: jnp.ndarray
     ages: jnp.ndarray
     valid: jnp.ndarray
+    ids: jnp.ndarray
+    next_id: jnp.ndarray
 
     @property
     def capacity(self) -> int:
@@ -49,4 +58,6 @@ def empty_feature_state(capacity: int, batch: tuple = ()) -> FeatureState:
         points=jnp.zeros(batch + (capacity, 2), jnp.float32),
         ages=jnp.zeros(batch + (capacity,), jnp.int32),
         valid=jnp.zeros(batch + (capacity,), bool),
+        ids=jnp.full(batch + (capacity,), -1, jnp.int32),
+        next_id=jnp.zeros(batch, jnp.int32),
     )

@@ -40,6 +40,8 @@ class CircularMatchResult(NamedTuple):
     points_l0_return: jnp.ndarray
     valid: jnp.ndarray          # (N,) — survived all checks
     ages: jnp.ndarray           # (N,) — incremented survivor ages
+    ids: jnp.ndarray            # (N,) — persistent track ids (pass-through)
+    next_id: jnp.ndarray        # () — allocation cursor (pass-through)
 
 
 @partial(jax.jit, static_argnames=("params", "circle_threshold", "backend"))
@@ -112,6 +114,8 @@ def circular_match(
         points_l0_return=pts_ret,
         valid=valid,
         ages=ages,
+        ids=bucketed.ids,
+        next_id=bucketed.next_id,
     )
 
 
@@ -122,4 +126,6 @@ def commit_tracked_state(result: CircularMatchResult) -> FeatureState:
         points=result.points_l1,
         ages=result.ages,
         valid=result.valid,
+        ids=result.ids,
+        next_id=result.next_id,
     )

@@ -49,6 +49,8 @@ def make_batched_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
             points=_constrain(state.features.points, P("data", "model", None)),
             ages=_constrain(state.features.ages, P("data", "model")),
             valid=_constrain(state.features.valid, P("data", "model")),
+            ids=_constrain(state.features.ids, P("data", "model")),
+            next_id=_constrain(state.features.next_id, P("data")),
         )
         img_spec = P("data", None, None)
         lk_l0 = jax.tree.map(lambda a: _constrain(a, img_spec), state.lk_l0)

@@ -70,6 +70,7 @@ class TrackSnapshot(NamedTuple):
 
     points_l0: jnp.ndarray
     points_l1: jnp.ndarray
+    ids: jnp.ndarray
     valid: jnp.ndarray
 
 
@@ -183,7 +184,10 @@ def make_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
             num_bucketed=jnp.sum(bucketed.valid).astype(jnp.int32),
         )
         if with_tracks:
-            tracks = TrackSnapshot(match.points_l0, match.points_l1, match.valid)
+            tracks = TrackSnapshot(points_l0=match.points_l0,
+                                   points_l1=match.points_l1,
+                                   ids=match.ids,
+                                   valid=match.valid)
             return new_state, out, tracks
         return new_state, out
 

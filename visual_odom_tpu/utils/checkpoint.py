@@ -28,6 +28,8 @@ def save_checkpoint(path: str, vo, extra: Optional[dict] = None) -> None:
         "points": np.asarray(state.features.points),
         "ages": np.asarray(state.features.ages),
         "valid": np.asarray(state.features.valid),
+        "ids": np.asarray(state.features.ids),
+        "next_id": np.asarray(state.features.next_id),
         "tvec": np.asarray(state.tvec),
         "key": np.asarray(state.key),
     }
@@ -66,6 +68,8 @@ def restore_vo(vo, ckpt: dict, left_t0: np.ndarray, right_t0: np.ndarray) -> int
             points=jnp.asarray(ckpt["points"]),
             ages=jnp.asarray(ckpt["ages"]),
             valid=jnp.asarray(ckpt["valid"]),
+            ids=jnp.asarray(ckpt["ids"]),
+            next_id=jnp.asarray(ckpt["next_id"]),
         ),
         lk_l0=prep_image(jnp.asarray(left_t0), vo.config),
         lk_r0=prep_image(jnp.asarray(right_t0), vo.config),
