@@ -62,9 +62,21 @@ def _jacobian_blocks(problem: BAProblem):
 
 
 @partial(jax.jit, static_argnames=("damping",))
-def ba_gauss_newton_step(problem: BAProblem, damping: float = 1e-4) -> BAProblem:
-    """One damped GN step. Returns the updated problem."""
+def ba_gauss_newton_step(problem: BAProblem, damping: float = 1e-4,
+                         anchor=None, anchor_w=None) -> BAProblem:
+    """One damped GN step. Returns the updated problem.
+
+    anchor (W, 6) / anchor_w (W,) add per-pose quadratic priors
+    0.5 * w_i * ||pose_i - anchor_i||^2 — used by the ring-sharded
+    sequence-parallel BA (parallel/ring_ba.py) to pin halo keyframes to the
+    neighbor shard's estimate. Default (None) anchors pose 0 to itself with a
+    large weight, i.e. the classic gauge prior (dp_0 ~ 0).
+    """
     W = problem.poses.shape[0]
+    if anchor is None:
+        anchor = problem.poses
+    if anchor_w is None:
+        anchor_w = jnp.zeros(W, problem.poses.dtype).at[0].set(_GAUGE_PRIOR)
     A, B, r = _jacobian_blocks(problem)
 
     # Block accumulations (contraction over landmarks marked "L!").
@@ -90,8 +102,11 @@ def ba_gauss_newton_step(problem: BAProblem, damping: float = 1e-4) -> BAProblem
     S = S - S_red
     rhs = bp - rhs_red
 
-    # Gauge: anchor pose 0 with a large prior.
-    S = S.at[0, 0].add(_GAUGE_PRIOR * jnp.eye(6, dtype=S.dtype))
+    # Per-pose anchor priors (gauge by default; halo pins in ring BA).
+    S = S.at[jnp.arange(W), jnp.arange(W)].add(
+        anchor_w[:, None, None] * jnp.eye(6, dtype=S.dtype)
+    )
+    rhs = rhs + anchor_w[:, None] * (problem.poses - anchor)
 
     S_dense = S.transpose(0, 2, 1, 3).reshape(W * 6, W * 6)
     rhs_dense = rhs.reshape(W * 6)
