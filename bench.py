@@ -47,6 +47,7 @@ def bench_pipeline(num_frames: int, height: int, width: int, reps: int = 2):
 
     best_fps = 0.0
     fetched = None
+    poses = None
     for _ in range(reps):
         poses, fetched, wall, processed = run_sequence_scan(
             frames, cfg, intr, chunk=32)
@@ -54,7 +55,25 @@ def bench_pipeline(num_frames: int, height: int, width: int, reps: int = 2):
         best_fps = max(best_fps, fps)
     matched = float(np.mean(fetched.num_matched))
     accept = float(np.mean(fetched.accept))
-    return best_fps, {"mean_matched": matched, "accept_ratio": accept}
+
+    # Accuracy against the exact rendering ground truth (BASELINE.md's FIRST
+    # target is ATE <= reference; a perf number without a correctness gate
+    # is meaningless — VERDICT.md round-1 weak #1/#2).
+    gt = seq.poses
+    err = np.linalg.norm(poses[: len(gt), :3, 3] - gt[:, :3, 3], axis=1)
+    ate_rmse = float(np.sqrt(np.mean(err**2)))
+    course_len = float(np.sum(np.linalg.norm(
+        np.diff(gt[:, :3, 3], axis=0), axis=1)))
+    ate_budget = 0.01 * course_len  # 1% of distance traveled
+    accuracy_ok = (accept >= 0.9) and (ate_rmse <= ate_budget)
+    return best_fps, {
+        "mean_matched": matched,
+        "accept_ratio": round(accept, 4),
+        "ate_rmse_m": round(ate_rmse, 4),
+        "ate_budget_m": round(ate_budget, 3),
+        "course_len_m": round(course_len, 1),
+        "accuracy_ok": accuracy_ok,
+    }
 
 
 def bench_lk(n_points: int, height: int, width: int, iters: int = 20):
@@ -95,18 +114,26 @@ def bench_lk(n_points: int, height: int, width: int, iters: int = 20):
         p1, s1 = lk_track_pyramid(a, b, p, valid, params)
         p2, s2 = lk_track_pyramid(b, a, p1, valid, params)
         p3, s3 = lk_track_pyramid(a, b, p2, valid, params)
-        return lk_track_pyramid(b, a, p3, valid, params)
+        p4, s4 = lk_track_pyramid(b, a, p3, valid, params)
+        return p4, s1 & s2 & s3 & s4
 
-    # Warm up: compile + program load + one full quad execution.
-    w0, _ = quad(pts)
-    _ = np.asarray(w0)
+    # Warm up: compile + program load + one full quad execution; assert the
+    # tracks actually converged and closed the circle (timing early-exit
+    # failures is not a benchmark — VERDICT.md round-1 weak #3).
+    w0, wstat = quad(pts)
+    wstat_np = np.asarray(wstat)
+    survivors = int(wstat_np.sum())
+    assert survivors >= int(0.9 * n_points), (
+        f"bench_lk: only {survivors}/{n_points} tracks survived the circle")
+    closure = float(np.max(np.abs(np.asarray(w0) - np.asarray(pts))[wstat_np]))
+    assert closure < 1.0, f"bench_lk: round-trip closure {closure:.2f} px"
     t0 = time.perf_counter()
     for _ in range(iters):
         p4, s4 = quad(pts)
     _ = np.asarray(p4)  # full sync (block_until_ready is unreliable on the tunnel)
     wall = time.perf_counter() - t0
     # One circular match = 4 legs over n_points.
-    return n_points * iters / wall
+    return n_points * iters / wall, survivors
 
 
 def main():
@@ -122,15 +149,20 @@ def main():
     t0 = time.time()
     fps, extras = bench_pipeline(num_frames, args.height, args.width,
                                  reps=1 if args.quick else 2)
-    lk_pairs = bench_lk(512, args.height, args.width,
-                        iters=5 if args.quick else 20)
+    lk_pairs, lk_survivors = bench_lk(512, args.height, args.width,
+                                      iters=5 if args.quick else 20)
 
+    # vs_baseline is the headline: FPS against the reference's 80 FPS target,
+    # but ZERO when the trajectory is broken — a fast wrong answer scores
+    # nothing (BASELINE.md's first target is accuracy).
+    vs = fps / 80.0 if extras.get("accuracy_ok") else 0.0
     result = {
         "metric": "vo_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 80.0, 3),
+        "vs_baseline": round(vs, 3),
         "lk_circular_matches_per_s": round(lk_pairs, 1),
+        "lk_survivors": lk_survivors,
         "image": f"{args.width}x{args.height}",
         "frames": num_frames,
         "bench_wall_s": round(time.time() - t0, 1),

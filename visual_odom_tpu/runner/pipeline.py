@@ -164,12 +164,19 @@ def make_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
         # -- gating ----------------------------------------------------------
         gate = gate_and_integrate(rvec_out, pnp.tvec)
 
+        # Warm start for the next frame's PnP. Only an ACCEPTED solution may
+        # seed the next solve: feeding a diverged (gate-rejected) tvec back
+        # in poisons every later hypothesis and the tracker never re-acquires
+        # (the reference persists `translation` unconditionally,
+        # src/main.cpp:81-82 — a latent bug it never hits on KITTI;
+        # deliberately fixed per SURVEY.md fidelity ledger).
+        warm = jnp.where(gate.accept & jnp.bool_(config.use_extrinsic_guess),
+                         pnp.tvec, jnp.zeros(3, jnp.float32))
         new_state = VOState(
             features=commit_tracked_state(match),
             lk_l0=lk_l1,
             lk_r0=lk_r1,
-            tvec=jnp.where(config.use_extrinsic_guess, pnp.tvec,
-                           jnp.zeros(3, jnp.float32)),
+            tvec=warm,
             key=key,
         )
         out = StepOutput(
