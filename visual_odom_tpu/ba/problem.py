@@ -78,8 +78,14 @@ def synthetic_ba_problem(
     cx: float = 607.19,
     cy: float = 185.21,
     bf: float = -386.1448,
+    obs_window: int | None = None,
 ):
     """Ground-truth BA problem + perturbed initialization (for tests).
+
+    ``obs_window`` localizes observations the way real VO tracks are: each
+    landmark is assigned an anchor keyframe and observed only by poses
+    within +-obs_window of it (track length <= 2*obs_window + 1). None =
+    every pose observes every landmark (dense grid).
 
     Returns (problem_init, poses_gt (W, 6), landmarks_gt (L, 3)).
     """
@@ -104,7 +110,12 @@ def synthetic_ba_problem(
         )(jnp.asarray(poses_gt))
     )
     obs = obs + rng.normal(0, pixel_noise, obs.shape)
-    mask = np.ones((num_poses, num_landmarks), bool)
+    if obs_window is None:
+        mask = np.ones((num_poses, num_landmarks), bool)
+    else:
+        anchor_kf = rng.integers(0, num_poses, num_landmarks)      # (L,)
+        dist = np.abs(np.arange(num_poses)[:, None] - anchor_kf[None, :])
+        mask = dist <= obs_window
 
     poses_init = poses_gt + rng.normal(0, pose_perturb, poses_gt.shape)
     poses_init[0] = poses_gt[0]  # gauge

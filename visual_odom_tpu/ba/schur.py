@@ -67,10 +67,13 @@ def ba_gauss_newton_step(problem: BAProblem, damping: float = 1e-4,
     """One damped GN step. Returns the updated problem.
 
     anchor (W, 6) / anchor_w (W,) add per-pose quadratic priors
-    0.5 * w_i * ||pose_i - anchor_i||^2 — used by the ring-sharded
-    sequence-parallel BA (parallel/ring_ba.py) to pin halo keyframes to the
-    neighbor shard's estimate. Default (None) anchors pose 0 to itself with a
-    large weight, i.e. the classic gauge prior (dp_0 ~ 0).
+    0.5 * w_i * ||pose_i - anchor_i||^2 — e.g. to pin a window's boundary
+    keyframes to externally-known estimates (the VO->BA wiring anchors the
+    window's first pose to the odometry chain). Default (None) anchors
+    pose 0 to itself with a large weight, i.e. the classic gauge prior
+    (dp_0 ~ 0). The ring-sharded sequence-parallel solver lives in
+    parallel/ring_ba.py; it solves the same reduced system with ring-matvec
+    PCG rather than through these priors.
     """
     W = problem.poses.shape[0]
     if anchor is None:
