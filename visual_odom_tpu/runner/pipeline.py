@@ -65,11 +65,15 @@ class StepOutput(NamedTuple):
 
 
 class TrackSnapshot(NamedTuple):
-    """Optional per-frame track dump for visualization (displayTracking,
-    reference src/visualOdometry.cpp:195-224)."""
+    """Optional per-frame track dump, for visualization (displayTracking,
+    reference src/visualOdometry.cpp:195-224) and for windowed-BA
+    observation collection (ba/window.py: ids key multi-frame tracks,
+    l1/r1 are the frame-t stereo measurement)."""
 
     points_l0: jnp.ndarray
+    points_r0: jnp.ndarray
     points_l1: jnp.ndarray
+    points_r1: jnp.ndarray
     ids: jnp.ndarray
     valid: jnp.ndarray
 
@@ -192,7 +196,9 @@ def make_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
         )
         if with_tracks:
             tracks = TrackSnapshot(points_l0=match.points_l0,
+                                   points_r0=match.points_r0,
                                    points_l1=match.points_l1,
+                                   points_r1=match.points_r1,
                                    ids=match.ids,
                                    valid=match.valid)
             return new_state, out, tracks
@@ -534,19 +540,23 @@ def run_sequence(
     verbose: bool = False,
     tracks_dir: Optional[str] = None,
     tracks_every: int = 50,
-) -> tuple[np.ndarray, list[FrameResult]]:
+    collect_tracks: bool = False,
+):
     """Run VO over an iterable of (left, right) frames.
 
     Returns ((N, 4, 4) float64 poses including identity frame 0, results).
     With ``tracks_dir``, writes a displayTracking-style overlay PNG
     (reference src/visualOdometry.cpp:195-224) every ``tracks_every`` frames.
+    With ``collect_tracks``, also returns the per-frame TrackSnapshots
+    (numpy) as a third element — the input to windowed-BA smoothing
+    (ba/window.py).
     """
     from visual_odom_tpu.utils.metrics import MetricsLogger
 
     it = iter(frames)
     left0, right0 = next(it)
     vo = VisualOdometry(config, intrinsics, seed=seed,
-                        with_tracks=bool(tracks_dir))
+                        with_tracks=bool(tracks_dir) or collect_tracks)
     vo.initialize(left0, right0)
     if tracks_dir:
         import os as _os
@@ -563,10 +573,13 @@ def run_sequence(
 
     poses = [np.eye(4)]
     results = []
+    snapshots = []
     for left, right in it:
         r = vo.process_frame(left, right)
         poses.append(r.pose)
         results.append(r)
+        if collect_tracks:
+            snapshots.append(vo.last_tracks)
         if tracks_dir and (r.frame_id % tracks_every == 0
                            or r.frame_id == 1):
             from visual_odom_tpu.eval.plot import render_tracks, save_png
@@ -589,6 +602,8 @@ def run_sequence(
         writer.close()
     if logger:
         logger.close()
+    if collect_tracks:
+        return np.asarray(poses), results, snapshots
     return np.asarray(poses), results
 
 
