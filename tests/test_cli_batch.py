@@ -62,3 +62,58 @@ def test_cli_run_tracks_dir(tmp_path):
     assert rc == 0
     pngs = sorted(os.listdir(tracks))
     assert "tracks_000001.png" in pngs and "tracks_000002.png" in pngs
+
+
+def test_cli_algorithm_constant_overrides():
+    """SURVEY.md section 5 config mandate: every reference constant is
+    overridable via CLI (VERDICT.md round-1 missing #4)."""
+    from visual_odom_tpu.runner.cli import config_from_args, main
+
+    p_args = [
+        "run", "x", "y",
+        "--fast-threshold", "15", "--lk-window", "17", "--lk-levels", "2",
+        "--lk-iters", "20", "--ransac-iters", "123", "--ransac-reproj",
+        "0.7", "--max-rotation", "0.2", "--min-scale", "0.01",
+        "--max-scale", "20", "--features-per-bucket", "2",
+        "--replenish-below", "999", "--age-threshold", "7",
+        "--circle-threshold", "1.0", "--lk-backend", "xla",
+    ]
+    import argparse
+
+    from visual_odom_tpu.runner import cli as climod
+
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="cmd")
+    pr = sub.add_parser("run")
+    pr.add_argument("sequence")
+    pr.add_argument("calibration")
+    climod.add_config_flags(pr)
+    args = parser.parse_args(p_args)
+    cfg = config_from_args(args, 120, 160)
+    assert cfg.fast_threshold == 15
+    assert cfg.lk_window == 17 and cfg.lk_levels == 2 and cfg.lk_max_iters == 20
+    assert cfg.ransac_iterations == 123
+    assert cfg.ransac_reproj_threshold == 0.7
+    assert cfg.max_rotation_rad == 0.2
+    assert cfg.min_scale == 0.01 and cfg.max_scale == 20
+    assert cfg.features_per_bucket == 2
+    assert cfg.replenish_below == 999 and cfg.age_threshold == 7
+    assert cfg.circle_threshold == 1.0
+    assert cfg.resolved_lk_backend() == "xla"
+    # capacity grows with features_per_bucket
+    assert cfg.padded_features >= cfg.num_buckets * 2
+
+
+def test_cli_run_with_overrides_and_ba(tmp_path):
+    """End-to-end: overridden constants + --ba-window produce a scored run."""
+    from visual_odom_tpu.runner.cli import main
+
+    calib = tmp_path / "calib.yaml"
+    calib.write_text(CALIB)
+    out = tmp_path / "poses.txt"
+    rc = main(["run", "synthetic", str(calib), "--max-frames", "8",
+               "--ransac-iters", "150", "--fast-threshold", "15",
+               "--ba-window", "4", "--output", str(out), "--quiet"])
+    assert rc == 0
+    rows = out.read_text().splitlines()
+    assert len(rows) == 8

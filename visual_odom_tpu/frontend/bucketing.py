@@ -11,21 +11,25 @@ Reference behavior being reproduced (in one dense pass):
    features win a cell; tracked features precede new detections in arrival
    order, so the effective policy is "tracked feature beats fresh corner".
 
-TPU-native formulation: because the output is exactly one winner per grid
-cell, detection + bucketing collapse into per-cell reductions —
+TPU-native formulation: the output is K = features_per_bucket winners per
+grid cell, so detection + bucketing collapse into per-cell reductions —
 
-- the FAST score map reshaped to (grid_h, bs, grid_w, bs) gives the best
-  *new* corner per cell as a max-pool + argmax (pure VPU, no sparse top-k);
-- the <=512 tracked features scatter-max into cells with key = (age, -slot),
-  picking the oldest tracked feature per cell (the reference's intended
-  replacement policy — its Bucket::add_feature comparison bug is fixed here,
-  see src/bucket.cpp:29-39 and SURVEY.md section 2 row 5);
-- a cell's winner is the tracked feature if one exists, else the corner.
+- the FAST score map reshaped to (grid_h, bs, grid_w, bs) gives the best K
+  *new* corners per cell as a per-cell top_k (pure VPU, no sparse
+  compaction);
+- the tracked features scatter-max into cells with key = (age, -slot), K
+  rounds with winners retired between rounds, picking the K oldest tracked
+  features per cell (the reference's intended replacement policy — its
+  Bucket::add_feature comparison bug is fixed here, see src/bucket.cpp:29-39
+  and SURVEY.md section 2 row 5);
+- a cell's output slots hold its tracked features first, then fresh corners
+  (the reference's arrival order: tracked precede detections).
 
-The result is written densely: output slot i == grid cell i, so there is no
-compaction step at all. Deviations from the reference (both deliberate,
-SURVEY.md fidelity ledger): the aliased extra bucket row/col is dropped, and
-among fresh corners in a cell the *strongest* (not scan-order-first) wins.
+The result is written densely: output slots [i*K, (i+1)*K) == grid cell i,
+so there is no compaction step at all. Deviations from the reference (both
+deliberate, SURVEY.md fidelity ledger): the aliased extra bucket row/col is
+dropped, and among fresh corners in a cell the *strongest* (not
+scan-order-first) win.
 """
 
 from __future__ import annotations
@@ -60,28 +64,30 @@ def detect_and_bucket(
     bs = config.bucket_size
     gh, gw = config.grid_h, config.grid_w
     G = gh * gw
+    K = config.features_per_bucket
     P = config.padded_features
     N = state.capacity
 
-    # ---- best fresh corner per cell (dense reduction over the score map) --
+    # ---- best K fresh corners per cell (dense reduction, top_k per cell) --
     score = fast_score_map(
         image_l0, threshold=config.fast_threshold, nonmax=config.fast_nonmax
     )
     cropped = score[: gh * bs, : gw * bs]
     cells = cropped.reshape(gh, bs, gw, bs).transpose(0, 2, 1, 3).reshape(G, bs * bs)
-    corner_score = jnp.max(cells, axis=1)                      # (G,)
-    corner_off = jnp.argmax(cells, axis=1).astype(jnp.int32)   # (G,)
+    corner_score, corner_off = jax.lax.top_k(cells, K)          # (G, K)
+    corner_off = corner_off.astype(jnp.int32)
     cell_ids = jnp.arange(G, dtype=jnp.int32)
     cy = cell_ids // gw
     cx = cell_ids % gw
-    corner_x = (cx * bs + corner_off % bs).astype(jnp.float32)
-    corner_y = (cy * bs + corner_off // bs).astype(jnp.float32)
+    corner_x = (cx[:, None] * bs + corner_off % bs).astype(jnp.float32)
+    corner_y = (cy[:, None] * bs + corner_off // bs).astype(jnp.float32)
+    corner_pts = jnp.stack([corner_x, corner_y], axis=-1)       # (G, K, 2)
     # Replenish gate (reference src/visualOdometry.cpp:95): only add fresh
     # corners when the live count is below the threshold.
     replenish = state.count() < config.replenish_below
-    has_corner = (corner_score > 0) & replenish
+    corner_ok = (corner_score > 0) & replenish                  # (G, K)
 
-    # ---- best tracked feature per cell (scatter-max over <= N features) ---
+    # ---- best K tracked features per cell (K scatter-max rounds) ----------
     fx = state.points[:, 0]
     fy = state.points[:, 1]
     fcx = jnp.clip((fx / bs).astype(jnp.int32), 0, gw - 1)
@@ -92,34 +98,51 @@ def detect_and_bucket(
     # Pack (age, slot) into one int key: older wins, lower slot breaks ties
     # (arrival order, matching the reference's first-come insertion).
     slot = jnp.arange(N, dtype=jnp.int32)
-    key = state.ages * N + (N - 1 - slot)
-    key = jnp.where(participating, key, -1)
-    cell_best = jnp.full((G,), -1, jnp.int32).at[fcell].max(key, mode="drop")
-    has_tracked = cell_best >= 0
-    best_slot = (N - 1 - (jnp.maximum(cell_best, 0) % N)).astype(jnp.int32)
-    tracked_pts = state.points[best_slot]          # (G, 2)
-    tracked_ages = state.ages[best_slot]
-    tracked_ids = state.ids[best_slot]
+    key0 = state.ages * N + (N - 1 - slot)
+    key = jnp.where(participating, key0, -1)
+    tracked_slots = []
+    tracked_oks = []
+    for _ in range(K):
+        cell_best = jnp.full((G,), -1, jnp.int32).at[fcell].max(
+            key, mode="drop")
+        ok = cell_best >= 0
+        best_slot = (N - 1 - (jnp.maximum(cell_best, 0) % N)).astype(jnp.int32)
+        tracked_slots.append(best_slot)
+        tracked_oks.append(ok)
+        # Retire this round's winners before the next round.
+        won = ok[fcell] & (key == cell_best[fcell])
+        key = jnp.where(won, -1, key)
+    t_slot = jnp.stack(tracked_slots, axis=1)                   # (G, K)
+    has_tracked = jnp.stack(tracked_oks, axis=1)                # (G, K)
+    tracked_pts = state.points[t_slot]                          # (G, K, 2)
+    tracked_ages = state.ages[t_slot]
+    tracked_ids = state.ids[t_slot]
 
-    # ---- combine: tracked feature beats fresh corner ----------------------
-    out_pts = jnp.where(
-        has_tracked[:, None],
-        tracked_pts,
-        jnp.stack([corner_x, corner_y], axis=-1),
-    )
-    out_ages = jnp.where(has_tracked, tracked_ages, 0)
-    out_valid = has_tracked | has_corner
-    # Fresh corners draw ids from the allocation cursor; cell offsets keep
-    # them unique within the frame (gaps for tracked-won cells are fine).
-    fresh_ids = state.next_id + cell_ids
-    out_ids = jnp.where(has_tracked, tracked_ids,
-                        jnp.where(has_corner, fresh_ids, -1))
+    # ---- combine: tracked features first, corners fill the remainder ------
+    # (reference arrival order: tracked precede fresh detections,
+    # src/visualOdometry.cpp:95-108 + src/feature.cpp:206-253.)
+    n_tracked = jnp.sum(has_tracked, axis=1)                    # (G,)
+    j = jnp.arange(K, dtype=jnp.int32)[None, :]                 # (1, K)
+    take_tracked = j < n_tracked[:, None]                       # (G, K)
+    c_idx = jnp.clip(j - n_tracked[:, None], 0, K - 1)          # (G, K)
+    c_pts = jnp.take_along_axis(corner_pts, c_idx[..., None], axis=1)
+    c_ok = jnp.take_along_axis(corner_ok, c_idx, axis=1) & (j >= n_tracked[:, None])
 
-    pad = P - G
+    out_pts = jnp.where(take_tracked[..., None], tracked_pts, c_pts)
+    out_ages = jnp.where(take_tracked, tracked_ages, 0)
+    out_valid = take_tracked | c_ok
+    # Fresh corners draw ids from the allocation cursor; (cell, slot)
+    # offsets keep them unique within the frame (gaps are fine).
+    fresh_ids = state.next_id + cell_ids[:, None] * K + j
+    out_ids = jnp.where(take_tracked, tracked_ids,
+                        jnp.where(c_ok, fresh_ids, -1))
+
+    GK = G * K
+    pad = P - GK
     return FeatureState(
-        points=jnp.pad(out_pts, ((0, pad), (0, 0))),
-        ages=jnp.pad(out_ages, ((0, pad),)),
-        valid=jnp.pad(out_valid, ((0, pad),)),
-        ids=jnp.pad(out_ids, ((0, pad),), constant_values=-1),
-        next_id=state.next_id + G,
+        points=jnp.pad(out_pts.reshape(GK, 2), ((0, pad), (0, 0))),
+        ages=jnp.pad(out_ages.reshape(GK), ((0, pad),)),
+        valid=jnp.pad(out_valid.reshape(GK), ((0, pad),)),
+        ids=jnp.pad(out_ids.reshape(GK), ((0, pad),), constant_values=-1),
+        next_id=state.next_id + GK,
     )

@@ -23,6 +23,55 @@ import sys
 import numpy as np
 
 
+#: (flag, VOConfig field, type) — every algorithm constant the reference
+#: hard-codes (SURVEY.md section 5 config: "everything overridable via CLI").
+_CONFIG_FLAGS = [
+    ("fast-threshold", "fast_threshold", int),
+    ("bucket-rows", "bucket_rows", int),
+    ("features-per-bucket", "features_per_bucket", int),
+    ("age-threshold", "age_threshold", int),
+    ("replenish-below", "replenish_below", int),
+    ("lk-window", "lk_window", int),
+    ("lk-levels", "lk_levels", int),
+    ("lk-iters", "lk_max_iters", int),
+    ("lk-eps", "lk_eps", float),
+    ("lk-min-eig", "lk_min_eig_threshold", float),
+    ("circle-threshold", "circle_threshold", float),
+    ("ransac-iters", "ransac_iterations", int),
+    ("ransac-reproj", "ransac_reproj_threshold", float),
+    ("ransac-confidence", "ransac_confidence", float),
+    ("max-rotation", "max_rotation_rad", float),
+    ("min-scale", "min_scale", float),
+    ("max-scale", "max_scale", float),
+    ("lk-backend", "lk_backend", str),
+]
+
+
+def add_config_flags(parser) -> None:
+    """Expose every reference algorithm constant as a CLI override."""
+    g = parser.add_argument_group(
+        "algorithm constants (defaults = reference values)")
+    for flag, field, typ in _CONFIG_FLAGS:
+        g.add_argument(f"--{flag}", dest=field, type=typ, default=None)
+    g.add_argument("--mono-rotation", dest="mono_rotation",
+                   action="store_true", default=None,
+                   help="rotation from the 8-point essential path "
+                        "(reference src/visualOdometry.h:42)")
+
+
+def config_from_args(args, h: int, w: int):
+    from visual_odom_tpu.config import VOConfig
+
+    overrides = {}
+    for _, field, _typ in _CONFIG_FLAGS:
+        v = getattr(args, field, None)
+        if v is not None:
+            overrides[field] = v
+    if getattr(args, "mono_rotation", None):
+        overrides["mono_rotation"] = True
+    return VOConfig.for_image(h, w, **overrides)
+
+
 def _cmd_run(args) -> int:
     from visual_odom_tpu.config import VOConfig, load_calibration
     from visual_odom_tpu.runner.pipeline import run_sequence
@@ -62,7 +111,7 @@ def _cmd_run(args) -> int:
         frames = kseq.iter_prefetched(max_frames=args.max_frames)
         gt = load_poses(args.ground_truth) if args.ground_truth else None
 
-    cfg = VOConfig.for_image(h, w)
+    cfg = config_from_args(args, h, w)
     if args.checkpoint:
         from visual_odom_tpu.runner.pipeline import run_sequence_resumable
 
@@ -83,7 +132,7 @@ def _cmd_run(args) -> int:
             verbose=not args.quiet,
         )
     else:
-        poses, results = run_sequence(
+        out = run_sequence(
             frames,
             cfg,
             intr,
@@ -92,7 +141,19 @@ def _cmd_run(args) -> int:
             verbose=not args.quiet,
             tracks_dir=args.tracks_dir,
             tracks_every=args.tracks_every,
+            collect_tracks=bool(args.ba_window),
         )
+        if args.ba_window:
+            from visual_odom_tpu.ba.window import smooth_trajectory_ba
+            from visual_odom_tpu.io.kitti import save_poses_kitti
+
+            poses, results, snaps = out
+            poses = smooth_trajectory_ba(snaps, poses, intr,
+                                         window=args.ba_window)
+            if args.output:
+                save_poses_kitti(args.output, poses)
+        else:
+            poses, results = out
 
     if args.trajectory_png:
         save_png(args.trajectory_png, render_trajectory(poses, gt))
@@ -161,14 +222,28 @@ def _cmd_run_batch(args) -> int:
     from visual_odom_tpu.parallel.batch_eval import run_sequences_batched
     from visual_odom_tpu.parallel.mesh import data_model_mesh
 
+    class _Limited:
+        """Random-access max-frames view (keeps streaming lazy)."""
+
+        def __init__(self, seq, n):
+            self._seq = seq
+            self._n = min(len(seq), n) if n else len(seq)
+
+        def __len__(self):
+            return self._n
+
+        def frame(self, i):
+            return self._seq.frame(i)
+
     intr = load_calibration(args.calibration)
     seqs, names = [], []
     for d in args.sequences:
-        kseq = KittiSequence(d)
-        frames = list(kseq)[:args.max_frames or None]
-        seqs.append(frames)
+        # Sequences stream frame-by-frame through the batched runner's
+        # prefetcher — a full KITTI sequence is several GB decoded and must
+        # never materialize in RAM.
+        seqs.append(_Limited(KittiSequence(d), args.max_frames))
         names.append(os.path.basename(os.path.normpath(d)))
-    h, w = seqs[0][0][0].shape
+    h, w = seqs[0].frame(0)[0].shape
     cfg = VOConfig.for_image(h, w)
     mesh = data_model_mesh(data=args.data_parallel or None)
     poses_list, stats, wall = run_sequences_batched(seqs, cfg, intr, mesh)
@@ -218,7 +293,11 @@ def main(argv=None) -> int:
     pr.add_argument("--tracks-dir",
                     help="write displayTracking-style overlay PNGs here")
     pr.add_argument("--tracks-every", type=int, default=50)
+    pr.add_argument("--ba-window", type=int, default=0,
+                    help="smooth the trajectory with windowed bundle "
+                         "adjustment over N-frame windows (0 = off)")
     pr.add_argument("--quiet", action="store_true")
+    add_config_flags(pr)
     pr.set_defaults(fn=_cmd_run)
 
     prb = sub.add_parser(
