@@ -1,0 +1,131 @@
+"""Data-parallel scaling-efficiency harness (BASELINE.md third target).
+
+Measures aggregate frames/s of the lockstep batched runner
+(parallel/batch_eval.run_sequences_batched) as the data axis grows:
+
+- CPU mesh (8 virtual devices, --xla_force_host_platform_device_count):
+  the physical cores are SHARED by all virtual devices, so ideal scaling
+  here is CONSTANT aggregate throughput as data=1 -> 8 (fixed hardware,
+  more parallel sequences). The efficiency number agg(N)/agg(1) measures
+  the orchestration overhead of the sharded program (lockstep sync, state
+  sharding, dispatch) — the part that would erode multi-chip scaling on a
+  real pod. On real chips each data shard has its own compute, so
+  efficiency e here lower-bounds per-chip utilization at N chips.
+- TPU (1 real chip): batch B=1/2/4 on one device measures vectorization
+  headroom — aggregate frames/s rising with B means the chip had idle
+  capacity at B=1 that batching recovers.
+
+Writes one JSON blob (stdout + optional --out file, committed as
+SCALING_r{N}.json).
+
+Usage:
+  python scripts/scaling_bench.py --backend cpu --out SCALING_r02.json
+  python scripts/scaling_bench.py --backend tpu --out SCALING_tpu_r02.json
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", choices=["cpu", "tpu"], default="cpu")
+    ap.add_argument("--height", type=int, default=120)
+    ap.add_argument("--width", type=int, default=160)
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    if args.backend == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "--xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+
+    import jax
+
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("VO_JAX_CACHE", "/tmp/vo_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    import numpy as np
+
+    from visual_odom_tpu.config import CameraIntrinsics, VOConfig
+    from visual_odom_tpu.io.synthetic import SyntheticStereoSequence
+    from visual_odom_tpu.parallel.batch_eval import run_sequences_batched
+    from visual_odom_tpu.parallel.mesh import make_mesh
+
+    H, W = args.height, args.width
+    s = W / 1241.0
+    intr = CameraIntrinsics(fx=718.856 * s, fy=718.856 * s,
+                            cx=W / 2.0, cy=H / 2.0,
+                            bf=-718.856 * s * 0.537, width=W, height=H)
+    cfg = VOConfig.for_image(H, W, ransac_iterations=200)
+
+    n_dev = len(jax.devices())
+    sizes = [d for d in (1, 2, 4, 8) if d <= n_dev] if args.backend == "cpu" \
+        else [1, 2, 4]
+
+    # Pre-render enough distinct sequences for the largest size (each data
+    # shard tracks a DIFFERENT sequence — no trivial replication).
+    max_b = max(sizes)
+    print(f"rendering {max_b} sequences x {args.frames} frames...",
+          flush=True)
+    all_seqs = [
+        list(SyntheticStereoSequence(intr, num_frames=args.frames, seed=b,
+                                     speed=0.5))
+        for b in range(max_b)
+    ]
+
+    rows = []
+    for d in sizes:
+        if args.backend == "cpu":
+            mesh = make_mesh({"data": d, "model": 1},
+                             devices=jax.devices()[:d])
+        else:
+            mesh = make_mesh({"data": 1, "model": 1},
+                             devices=jax.devices()[:1])
+        seqs = all_seqs[:d]
+        # Warm-up run (compile), then the timed run.
+        run_sequences_batched(seqs, cfg, intr, mesh)
+        poses, stats, wall = run_sequences_batched(seqs, cfg, intr, mesh)
+        total = sum(len(x) - 1 for x in seqs)
+        agg = total / wall
+        acc = float(np.mean([st["accept_ratio"] for st in stats]))
+        rows.append({"data": d, "aggregate_fps": round(agg, 2),
+                     "wall_s": round(wall, 3), "accept_ratio": round(acc, 3)})
+        print(rows[-1], flush=True)
+
+    base = rows[0]["aggregate_fps"]
+    for r in rows:
+        r["efficiency_vs_data1"] = round(r["aggregate_fps"] / base, 3)
+
+    result = {
+        "harness": "run_sequences_batched lockstep DP",
+        "backend": args.backend,
+        "devices": n_dev,
+        "image": f"{W}x{H}",
+        "frames_per_seq": args.frames,
+        "ideal": ("constant aggregate fps (shared physical cores)"
+                  if args.backend == "cpu"
+                  else "rising aggregate fps (batching recovers idle chip)"),
+        "target": ">= 0.70 efficiency (BASELINE.md multi-host scaling)",
+        "rows": rows,
+        "efficiency_min": min(r["efficiency_vs_data1"] for r in rows),
+    }
+    blob = json.dumps(result, indent=2)
+    print(blob)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(blob + "\n")
+
+
+if __name__ == "__main__":
+    main()

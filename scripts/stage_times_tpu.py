@@ -55,10 +55,17 @@ one_leg = timeit("lk one leg (l0->r0)",
                  lambda: lk_track_pyramid(iml0, imr0, bucketed.points,
                                           bucketed.valid, params))
 
-match = timeit("circular_match (4 legs)",
+match = timeit("circular_match xla (4 legs)",
                lambda: circular_match(iml0, imr0, iml1, imr1, bucketed,
-                                      params, cfg.circle_threshold))
-print("matched:", int(match.valid.sum()), flush=True)
+                                      params, cfg.circle_threshold, "xla"))
+print("matched xla:", int(match.valid.sum()), flush=True)
+
+if jax.default_backend() != "cpu":
+    match_p = timeit("circular_match pallas (4 legs)",
+                     lambda: circular_match(iml0, imr0, iml1, imr1, bucketed,
+                                            params, cfg.circle_threshold,
+                                            "pallas"))
+    print("matched pallas:", int(match_p.valid.sum()), flush=True)
 
 Pl = intr.proj_left()
 Pr = intr.proj_right()

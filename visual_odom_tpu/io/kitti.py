@@ -70,8 +70,20 @@ class KittiSequence:
         return self.num_frames
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Clean end-of-sequence on a missing or undecodable frame: the
+        reference crashes on the first bad image (empty imread -> cvtColor
+        throws, src/utils.cpp:178); here the sequence simply ends at the
+        last good frame, so partial runs stay scorable (SURVEY.md section 5
+        failure detection; fidelity ledger: deliberately fixed)."""
+        import sys
+
         for i in range(self.num_frames):
-            yield self.frame(i)
+            try:
+                yield self.frame(i)
+            except Exception as e:  # missing pair file, truncated PNG, ...
+                print(f"warning: frame {i} unreadable ({e!r}); "
+                      f"ending sequence at {i} frames", file=sys.stderr)
+                return
 
     def iter_prefetched(self, n_threads: int = 4, capacity: int = 16,
                         max_frames: int = 0,
@@ -92,15 +104,23 @@ class KittiSequence:
         for i in range(n):
             paths.append(os.path.join(self.left_dir, f"{i:06d}.png"))
             paths.append(os.path.join(self.right_dir, f"{i:06d}.png"))
+        import sys
+
         loader = native.PrefetchingLoader(paths, n_threads=n_threads,
                                           capacity=capacity)
         try:
             while True:
-                a = loader.next_frame()
-                if a is None:
+                try:
+                    a = loader.next_frame()
+                    if a is None:
+                        return
+                    b = loader.next_frame()
+                    if b is None:
+                        return
+                except Exception as e:  # truncated/corrupt PNG mid-stream
+                    print(f"warning: unreadable frame in prefetch stream "
+                          f"({e!r}); ending sequence early", file=sys.stderr)
                     return
-                b = loader.next_frame()
-                assert b is not None, "odd frame count in stereo stream"
                 yield a[1], b[1]
         finally:
             loader.close()

@@ -636,19 +636,32 @@ def run_sequence_resumable(
     )
     from visual_odom_tpu.utils.metrics import MetricsLogger
 
+    from visual_odom_tpu.utils.checkpoint import CorruptCheckpoint
+
     n = len(seq) if not max_frames else min(len(seq), max_frames)
     vo = VisualOdometry(config, intrinsics, seed=seed)
     start = 1
     poses = [np.eye(4)]
+    resumed = False
     if checkpoint_path and os.path.exists(checkpoint_path):
-        ckpt = load_checkpoint(checkpoint_path)
-        k = int(ckpt["frame_id"])
-        left_k, right_k = seq.frame(k)
-        start = restore_vo(vo, ckpt, left_k, right_k)
-        poses = list(np.asarray(ckpt["extra_poses"]))
-        if verbose:
-            print(f"resumed from {checkpoint_path} at frame {k}")
-    else:
+        try:
+            ckpt = load_checkpoint(checkpoint_path)
+            k = int(ckpt["frame_id"])
+            left_k, right_k = seq.frame(k)
+            start = restore_vo(vo, ckpt, left_k, right_k)
+            poses = list(np.asarray(ckpt["extra_poses"]))
+            resumed = True
+            if verbose:
+                print(f"resumed from {checkpoint_path} at frame {k}")
+        except CorruptCheckpoint as e:
+            # Torn/garbage snapshot: reject it and start fresh rather than
+            # resuming from untrusted state (SURVEY.md section 5 failure
+            # detection; the atomic write makes this path rare).
+            import sys
+
+            print(f"warning: rejecting corrupt checkpoint: {e}",
+                  file=sys.stderr)
+    if not resumed:
         left0, right0 = seq.frame(0)
         vo.initialize(left0, right0)
 

@@ -43,9 +43,29 @@ def save_checkpoint(path: str, vo, extra: Optional[dict] = None) -> None:
     os.replace(tmp, path)
 
 
+_REQUIRED_KEYS = ("frame_pose", "frame_id", "points", "ages", "valid",
+                  "ids", "next_id", "tvec", "key")
+
+
+class CorruptCheckpoint(ValueError):
+    """A checkpoint file that cannot be trusted (torn write, truncation,
+    wrong format). Callers treat it as absent rather than resuming from
+    garbage."""
+
+
 def load_checkpoint(path: str) -> dict:
-    with np.load(path) as z:
-        return {k: z[k] for k in z.files}
+    """Load + validate a snapshot; raises CorruptCheckpoint on torn or
+    incomplete files (the atomic tmp+rename write makes these rare, but a
+    crashed filesystem or manual copy can still produce one)."""
+    try:
+        with np.load(path) as z:
+            ckpt = {k: z[k] for k in z.files}
+    except Exception as e:
+        raise CorruptCheckpoint(f"{path}: unreadable ({e!r})") from e
+    missing = [k for k in _REQUIRED_KEYS if k not in ckpt]
+    if missing:
+        raise CorruptCheckpoint(f"{path}: missing keys {missing}")
+    return ckpt
 
 
 def restore_vo(vo, ckpt: dict, left_t0: np.ndarray, right_t0: np.ndarray) -> int:
