@@ -1,0 +1,36 @@
+"""Pipeline-parallel runner (parallel/pipe.py): 2-stage frontend/backend
+split over a size-2 mesh axis must reproduce the sequential runner exactly
+(pure data-boundary split). SURVEY.md section 2 parallelism inventory, PP
+row."""
+
+import jax
+import numpy as np
+
+from visual_odom_tpu.config import CameraIntrinsics, VOConfig
+from visual_odom_tpu.io.synthetic import SyntheticStereoSequence
+from visual_odom_tpu.parallel.pipe import run_sequence_pipelined
+from visual_odom_tpu.runner.pipeline import run_sequence_scan
+
+H, W = 120, 160
+
+
+def test_pipelined_matches_sequential():
+    intr = CameraIntrinsics(fx=120.0, fy=120.0, cx=W / 2, cy=H / 2,
+                            bf=-120.0 * 0.54, width=W, height=H)
+    cfg = VOConfig.for_image(H, W, ransac_iterations=100)
+    seq = SyntheticStereoSequence(intr, num_frames=6, seed=0, speed=0.5)
+    frames = list(seq)
+
+    poses_seq, out_seq, _, _ = run_sequence_scan(frames, cfg, intr, chunk=8,
+                                                 warmup=False)
+    poses_pipe, out_pipe, _ = run_sequence_pipelined(
+        frames, cfg, intr, devices=jax.devices()[:2])
+
+    np.testing.assert_array_equal(np.asarray(out_pipe.accept),
+                                  np.asarray(out_seq.accept))
+    np.testing.assert_array_equal(np.asarray(out_pipe.num_inliers),
+                                  np.asarray(out_seq.num_inliers))
+    np.testing.assert_allclose(np.asarray(out_pipe.T_inv),
+                               np.asarray(out_seq.T_inv), atol=1e-6)
+    np.testing.assert_allclose(poses_pipe, poses_seq, atol=1e-5)
+    assert np.asarray(out_pipe.accept).mean() >= 0.8

@@ -74,8 +74,20 @@ def detect_and_bucket(
     )
     cropped = score[: gh * bs, : gw * bs]
     cells = cropped.reshape(gh, bs, gw, bs).transpose(0, 2, 1, 3).reshape(G, bs * bs)
-    corner_score, corner_off = jax.lax.top_k(cells, K)          # (G, K)
-    corner_off = corner_off.astype(jnp.int32)
+    # Per-cell top-K via K max/argmax rounds (NOT lax.top_k: that lowers to
+    # a sort over the bs*bs axis, ~ms slower per frame on TPU; K rounds of
+    # VPU reductions are cheap for the small K this knob takes).
+    scores_k, offs_k = [], []
+    remaining = cells
+    for _ in range(K):
+        s_best = jnp.max(remaining, axis=1)
+        o_best = jnp.argmax(remaining, axis=1).astype(jnp.int32)
+        scores_k.append(s_best)
+        offs_k.append(o_best)
+        if K > 1:
+            remaining = remaining.at[jnp.arange(G), o_best].set(-jnp.inf)
+    corner_score = jnp.stack(scores_k, axis=1)                  # (G, K)
+    corner_off = jnp.stack(offs_k, axis=1)
     cell_ids = jnp.arange(G, dtype=jnp.int32)
     cy = cell_ids // gw
     cx = cell_ids % gw
@@ -102,16 +114,17 @@ def detect_and_bucket(
     key = jnp.where(participating, key0, -1)
     tracked_slots = []
     tracked_oks = []
-    for _ in range(K):
+    for k in range(K):
         cell_best = jnp.full((G,), -1, jnp.int32).at[fcell].max(
             key, mode="drop")
         ok = cell_best >= 0
         best_slot = (N - 1 - (jnp.maximum(cell_best, 0) % N)).astype(jnp.int32)
         tracked_slots.append(best_slot)
         tracked_oks.append(ok)
-        # Retire this round's winners before the next round.
-        won = ok[fcell] & (key == cell_best[fcell])
-        key = jnp.where(won, -1, key)
+        if k + 1 < K:
+            # Retire this round's winners before the next round.
+            won = ok[fcell] & (key == cell_best[fcell])
+            key = jnp.where(won, -1, key)
     t_slot = jnp.stack(tracked_slots, axis=1)                   # (G, K)
     has_tracked = jnp.stack(tracked_oks, axis=1)                # (G, K)
     tracked_pts = state.points[t_slot]                          # (G, K, 2)
