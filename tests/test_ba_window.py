@@ -103,6 +103,29 @@ def test_ba_smoothing_improves_ate(vo_run):
     np.testing.assert_allclose(smoothed[0], np.eye(4), atol=1e-6)
 
 
+def test_ba_smoothing_with_ring_solver(vo_run):
+    """The ring-sharded sequence-parallel solver plugs into the live-track
+    smoother: windows shard over a 4-device mesh, and the smoothed
+    trajectory still beats plain chaining. (Real tracks can span more than
+    halo+1 keyframes, so the ring solve is approximate here — the halo
+    truncates coupling — but it must still descend.)"""
+    from visual_odom_tpu.parallel.mesh import make_mesh
+    from visual_odom_tpu.parallel.ring_ba import ring_ba_solve
+
+    seq, intr, poses, snaps = vo_run
+    gt = seq.poses[: len(poses)]
+    mesh = make_mesh({"seq": 4})
+
+    def solver(problem):
+        return ring_ba_solve(problem, mesh, halo=2, rounds=8)
+
+    smoothed = smooth_trajectory_ba(snaps, poses, intr, window=8,
+                                    solver=solver)
+    ate_chain = ate_rmse(gt, poses)
+    ate_ring = ate_rmse(gt, smoothed)
+    assert ate_ring < ate_chain, (ate_chain, ate_ring)
+
+
 def test_smoothing_noop_without_enough_tracks(vo_run):
     """Windows where no usable tracks exist leave the chain untouched."""
     seq, intr, poses, snaps = vo_run
