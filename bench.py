@@ -66,7 +66,7 @@ def bench_pipeline(num_frames: int, height: int, width: int, reps: int = 2):
         np.diff(gt[:, :3, 3], axis=0), axis=1)))
     ate_budget = 0.01 * course_len  # 1% of distance traveled
     accuracy_ok = (accept >= 0.9) and (ate_rmse <= ate_budget)
-    return best_fps, {
+    extras = {
         "mean_matched": matched,
         "accept_ratio": round(accept, 4),
         "ate_rmse_m": round(ate_rmse, 4),
@@ -74,6 +74,17 @@ def bench_pipeline(num_frames: int, height: int, width: int, reps: int = 2):
         "course_len_m": round(course_len, 1),
         "accuracy_ok": accuracy_ok,
     }
+    # KITTI-devkit segment errors (needs >= 100 m of path; the 161-frame
+    # course is 128 m, so the 100 m segment length contributes).
+    if course_len >= 100.0:
+        from visual_odom_tpu.eval.kitti_eval import evaluate_sequence
+
+        score = evaluate_sequence(gt, poses[: len(gt)])
+        if np.isfinite(score.get("t_err_pct", float("nan"))):
+            extras["t_err_pct"] = round(float(score["t_err_pct"]), 4)
+            extras["r_err_deg_per_m"] = round(
+                float(score["r_err_deg_per_m"]), 5)
+    return best_fps, extras
 
 
 def bench_lk(n_points: int, height: int, width: int, iters: int = 20):

@@ -61,8 +61,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from visual_odom_tpu.ops.lk import LKImage, LKParams
 
-_FEATURE_BLOCK = 64
-_GROUP = 4  # features solved in one merged while_loop (ILP interleave)
+import os as _os
+
+_FEATURE_BLOCK = int(_os.environ.get("VO_LK_FEATURE_BLOCK", "64"))
+_GROUP = int(_os.environ.get("VO_LK_GROUP", "4"))  # features per merged
+# while_loop (ILP interleave); env knobs are for perf experiments only.
 
 # Scharr taps, matching ops/pyramid.py (_SCHARR_SMOOTH, _SCHARR_DIFF).
 _SM0, _SM1, _SM2 = 3.0 / 16.0, 10.0 / 16.0, 3.0 / 16.0
