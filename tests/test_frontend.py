@@ -14,7 +14,7 @@ CFG = VOConfig.for_image(H, W)
 def put_features(points, ages):
     st = empty_feature_state(CFG.padded_features)
     n = len(points)
-    return FeatureState(
+    return st._replace(
         points=st.points.at[:n].set(jnp.asarray(points, jnp.float32)),
         ages=st.ages.at[:n].set(jnp.asarray(ages, jnp.int32)),
         valid=st.valid.at[:n].set(True),
@@ -101,7 +101,7 @@ def test_features_per_bucket_two_keeps_two_tracked():
     st_base = empty_feature_state(cfg.padded_features)
     pts = [[bs + 2.0, bs + 2.0], [bs + 4.0, bs + 4.0], [bs + 6.0, bs + 6.0]]
     ages = [2, 7, 5]
-    st = FeatureState(
+    st = st_base._replace(
         points=st_base.points.at[:3].set(jnp.asarray(pts, jnp.float32)),
         ages=st_base.ages.at[:3].set(jnp.asarray(ages, jnp.int32)),
         valid=st_base.valid.at[:3].set(True),
@@ -123,7 +123,7 @@ def test_features_per_bucket_two_fills_with_corners():
     img = jnp.asarray(make_textured_image(H, W, seed=21))
     bs = cfg.bucket_size
     st_base = empty_feature_state(cfg.padded_features)
-    st = FeatureState(
+    st = st_base._replace(
         points=st_base.points.at[0].set(
             jnp.asarray([2 * bs + 5.0, 2 * bs + 7.0])),
         ages=st_base.ages.at[0].set(4),
@@ -140,11 +140,9 @@ def test_features_per_bucket_two_fills_with_corners():
         assert int(out.ages[s1]) == 0
         assert int(out.ids[s1]) >= 100
     # More total features than the K=1 config can produce.
-    out1 = detect_and_bucket(img, FeatureState(
-        points=st.points[:VOConfig.for_image(H, W).padded_features],
-        ages=st.ages[:VOConfig.for_image(H, W).padded_features],
-        valid=st.valid[:VOConfig.for_image(H, W).padded_features],
-        ids=st.ids[:VOConfig.for_image(H, W).padded_features],
-        next_id=st.next_id,
+    P1 = VOConfig.for_image(H, W).padded_features
+    out1 = detect_and_bucket(img, st._replace(
+        points=st.points[:P1], ages=st.ages[:P1], valid=st.valid[:P1],
+        ids=st.ids[:P1], flow=st.flow[:P1], disp=st.disp[:P1],
     ), VOConfig.for_image(H, W))
     assert int(out.valid.sum()) > int(out1.valid.sum())

@@ -58,3 +58,33 @@ def test_pallas_recovers_translation(tracked_pair):
     err = np.abs(flow - np.array([2.7, -1.9]))
     assert np.median(err[:, 0]) < 0.1
     assert np.median(err[:, 1]) < 0.1
+
+
+def test_quad_kernel_matches_chained_legs(tracked_pair):
+    """The single-launch circular-quad kernel reproduces four chained
+    per-leg calls exactly (same solves, loops merely rearranged)."""
+    from visual_odom_tpu.ops.lk_pallas import lk_circular_quad_pallas
+
+    li, lj, pts, valid, p = tracked_pair
+    # Quad over a synthetic stereo-ish cycle: L0=li, R0=lj, R1=li, L1=lj.
+    r0_ref, s0 = lk_track_pyramid_pallas(li, lj, pts, valid, p,
+                                         interpret=True)
+    r1_ref, s1 = lk_track_pyramid_pallas(lj, li, r0_ref, valid, p,
+                                         interpret=True)
+    l1_ref, s2 = lk_track_pyramid_pallas(li, lj, r1_ref, valid, p,
+                                         interpret=True)
+    ret_ref, s3 = lk_track_pyramid_pallas(lj, li, l1_ref, valid, p,
+                                          interpret=True)
+    status_ref = np.asarray(s0 & s1 & s2 & s3)
+
+    r0, r1, l1, ret, status = lk_circular_quad_pallas(
+        li, lj, li, lj, pts, valid, p, interpret=True)
+    status = np.asarray(status)
+    np.testing.assert_array_equal(status, status_ref)
+    for got, want in ((r0, r0_ref), (r1, r1_ref), (l1, l1_ref),
+                      (ret, ret_ref)):
+        d = np.abs(np.asarray(got) - np.asarray(want))[status_ref]
+        assert d.max() < 1e-4, d.max()
+    # Invalid slots pass through.
+    v = np.asarray(valid)
+    np.testing.assert_allclose(np.asarray(r1)[~v], np.asarray(pts)[~v])

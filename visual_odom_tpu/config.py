@@ -175,6 +175,12 @@ class VOConfig:
     # while_loop), or None = auto (pallas on TPU, xla elsewhere) ---
     lk_backend: Optional[str] = None
 
+    # --- motion-prior LK seeding (beyond-reference): start each LK leg
+    # from the feature's previous flow/disparity instead of the identity.
+    # Same converged minima, roughly half the solver iterations; the
+    # circular-closure check still validates every track. ---
+    predictive_seeding: bool = True
+
     def resolved_lk_backend(self) -> str:
         if self.lk_backend is not None:
             return self.lk_backend

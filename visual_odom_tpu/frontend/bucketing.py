@@ -130,6 +130,8 @@ def detect_and_bucket(
     tracked_pts = state.points[t_slot]                          # (G, K, 2)
     tracked_ages = state.ages[t_slot]
     tracked_ids = state.ids[t_slot]
+    tracked_flow = state.flow[t_slot]                           # (G, K, 2)
+    tracked_disp = state.disp[t_slot]
 
     # ---- combine: tracked features first, corners fill the remainder ------
     # (reference arrival order: tracked precede fresh detections,
@@ -144,6 +146,48 @@ def detect_and_bucket(
     out_pts = jnp.where(take_tracked[..., None], tracked_pts, c_pts)
     out_ages = jnp.where(take_tracked, tracked_ages, 0)
     out_valid = take_tracked | c_ok
+
+    # Motion priors ride with their feature. Fresh corners inherit a
+    # NEIGHBOR prior: tracked flows/disparities scatter-mean into the
+    # bucket grid and propagate into empty cells (optical flow and
+    # disparity are locally smooth), so a fresh corner's LK starts near
+    # its neighborhood's motion instead of the identity. This matters for
+    # throughput: the LK kernel interleaves features in groups that run
+    # until the SLOWEST member converges — one unseeded fresh corner would
+    # stall its whole group at full iteration count.
+    fweight = participating.astype(jnp.float32)
+    cnt = jnp.zeros((G,), jnp.float32).at[fcell].add(fweight, mode="drop")
+    fsum = jnp.zeros((G, 2), jnp.float32).at[fcell].add(
+        state.flow * fweight[:, None], mode="drop")
+    dsum = jnp.zeros((G, 2), jnp.float32).at[fcell].add(
+        state.disp * fweight[:, None], mode="drop")
+    denom = jnp.maximum(cnt, 1.0)[:, None]
+    cell_flow = (fsum / denom).reshape(gh, gw, 2)
+    cell_disp = (dsum / denom).reshape(gh, gw, 2)
+    have = (cnt > 0).reshape(gh, gw)
+    for _ in range(4):  # fill holes from 3x3 neighborhoods, 4 rings deep
+        hf = have[..., None].astype(jnp.float32)
+        ncnt = jax.lax.reduce_window(hf[..., 0], 0.0, jax.lax.add,
+                                     (3, 3), (1, 1), "SAME")
+        nflow = jnp.stack([
+            jax.lax.reduce_window(cell_flow[..., c] * hf[..., 0], 0.0,
+                                  jax.lax.add, (3, 3), (1, 1), "SAME")
+            for c in range(2)], axis=-1)
+        ndisp = jnp.stack([
+            jax.lax.reduce_window(cell_disp[..., c] * hf[..., 0], 0.0,
+                                  jax.lax.add, (3, 3), (1, 1), "SAME")
+            for c in range(2)], axis=-1)
+        fill = (~have) & (ncnt > 0)
+        nd = jnp.maximum(ncnt, 1.0)[..., None]
+        cell_flow = jnp.where(fill[..., None], nflow / nd, cell_flow)
+        cell_disp = jnp.where(fill[..., None], ndisp / nd, cell_disp)
+        have = have | fill
+    corner_flow = cell_flow.reshape(G, 2)[:, None, :]       # (G, 1, 2)
+    corner_disp = cell_disp.reshape(G, 2)[:, None, :]
+    out_flow = jnp.where(take_tracked[..., None], tracked_flow,
+                         jnp.broadcast_to(corner_flow, tracked_flow.shape))
+    out_disp = jnp.where(take_tracked[..., None], tracked_disp,
+                         jnp.broadcast_to(corner_disp, tracked_disp.shape))
     # Fresh corners draw ids from the allocation cursor; (cell, slot)
     # offsets keep them unique within the frame (gaps are fine).
     fresh_ids = state.next_id + cell_ids[:, None] * K + j
@@ -158,4 +202,6 @@ def detect_and_bucket(
         valid=jnp.pad(out_valid.reshape(GK), ((0, pad),)),
         ids=jnp.pad(out_ids.reshape(GK), ((0, pad),), constant_values=-1),
         next_id=state.next_id + GK,
+        flow=jnp.pad(out_flow.reshape(GK, 2), ((0, pad), (0, 0))),
+        disp=jnp.pad(out_disp.reshape(GK, 2), ((0, pad), (0, 0))),
     )

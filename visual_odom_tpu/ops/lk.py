@@ -129,8 +129,11 @@ def _bilinear_patch(window: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray, w: int)
 
 
 def _track_feature(image_I: LKImage, image_J: LKImage, pt0: jnp.ndarray,
-                   params: LKParams):
+                   params: LKParams, init0: jnp.ndarray = None):
     """Track a single feature through the pyramid. Returns (pt1, status).
+
+    ``init0`` (level-0 coords) seeds the solution estimate (OpenCV's
+    OPTFLOW_USE_INITIAL_FLOW); default = pt0 (identity flow).
 
     Written for vmap over the feature axis; every branch is masked so the
     batched version is a single fused while_loop per level.
@@ -144,7 +147,9 @@ def _track_feature(image_I: LKImage, image_J: LKImage, pt0: jnp.ndarray,
     eps2 = params.eps * params.eps
 
     status = jnp.bool_(True)
-    next_pt = pt0 / (2.0 ** params.levels)  # estimate at the top level
+    if init0 is None:
+        init0 = pt0
+    next_pt = init0 / (2.0 ** params.levels)  # estimate at the top level
 
     for level in range(params.levels, -1, -1):
         rows, cols = image_I.shapes[level]
@@ -255,6 +260,7 @@ def lk_track_pyramid(
     pts: jnp.ndarray,
     valid: jnp.ndarray,
     params: LKParams = LKParams(),
+    init_pts: jnp.ndarray = None,
 ):
     """Track N features from image I to image J.
 
@@ -264,18 +270,24 @@ def lk_track_pyramid(
       valid: (N,) bool — inactive slots are passed through untouched with
         status False (fixed-capacity masked design; no dynamic shapes).
       params: LK parameters (defaults = reference constants).
+      init_pts: optional (N, 2) initial solution estimates (motion-prior
+        seeding, OpenCV OPTFLOW_USE_INITIAL_FLOW semantics); default pts.
 
     Returns:
       (pts1 (N, 2) float32, status (N,) bool).
     """
-    track = jax.vmap(lambda p: _track_feature(image_I, image_J, p, params))
     # Clamp invalid slots to the image center so their gathers stay cheap and
     # in-bounds; results are masked out below.
     rows, cols = image_I.shapes[0]
-    safe_pts = jnp.where(
-        valid[:, None], pts, jnp.array([cols * 0.5, rows * 0.5], jnp.float32)
-    )
-    pts1, status = track(safe_pts)
+    center = jnp.array([cols * 0.5, rows * 0.5], jnp.float32)
+    safe_pts = jnp.where(valid[:, None], pts, center)
+    if init_pts is None:
+        init = safe_pts
+    else:
+        init = jnp.where(valid[:, None], init_pts, center)
+    track = jax.vmap(
+        lambda p, i0: _track_feature(image_I, image_J, p, params, i0))
+    pts1, status = track(safe_pts, init)
     pts1 = jnp.where(valid[:, None], pts1, pts)
     status = status & valid
     return pts1, status

@@ -281,6 +281,315 @@ def _build_level_call(params: LKParams, rows: int, cols: int, pad: int,
     )
 
 
+def _quad_kernel(params: LKParams, shapes: tuple, pad: int):
+    """One kernel for the WHOLE circular quad: 4 chained LK legs
+    (L0->R0->R1->L1->L0) x all pyramid levels, per feature group.
+
+    Same per-level numerics as _level_kernel (template setup, bounded
+    while_loop with damping and spectral gates); merging removes 15 of the
+    16 kernel launches per frame and the inter-leg XLA glue, and keeps all
+    16 image planes resident in VMEM across the grid.
+    """
+    win = params.window
+    w1 = win + 1
+    win_area = float(win * win)
+    eps2 = params.eps * params.eps
+    d_eps = 1.19209e-07 * (1024.0 ** 2)
+    half = (win - 1) * 0.5
+    L = params.levels
+    rows0, cols0 = shapes[0]
+    cx0, cy0 = cols0 * 0.5, rows0 * 0.5
+    # Leg k tracks from image LEG_PAIRS[k][0] into LEG_PAIRS[k][1]
+    # (image order L0, R0, R1, L1 — reference src/feature.cpp:136-139).
+    leg_pairs = ((0, 1), (1, 2), (2, 3), (3, 0))
+
+    def kernel(pts_ref, valid_ref, flow_ref, disp_ref, *refs):
+        img_refs = [[refs[im * (L + 1) + lv] for lv in range(L + 1)]
+                    for im in range(4)]
+        out_refs = refs[4 * (L + 1):]          # 4 x (fb, 2) pts + (fb, 1) ok
+
+        def make_dims(level):
+            rows, cols = shapes[level]
+            Hp = rows + 2 * pad
+            Wp = cols + 2 * pad
+            return rows, cols, Hp, Wp
+
+        def load_block(ref, sy, sx):
+            ay = (sy // 8) * 8
+            ax = (sx // 128) * 128
+            blk = ref[pl.ds(ay, 32), pl.ds(ax, 256)]
+            blk = pltpu.roll(blk, (32 - (sy - ay)) & 31, axis=0)
+            blk = pltpu.roll(blk, (256 - (sx - ax)) & 255, axis=1)
+            return blk
+
+        def bilinear(wnd, a, b):
+            w00 = (1.0 - a) * (1.0 - b)
+            w01 = a * (1.0 - b)
+            w10 = (1.0 - a) * b
+            w11 = a * b
+            return (
+                w00 * wnd[:win, :win]
+                + w01 * wnd[:win, 1:w1]
+                + w10 * wnd[1:w1, :win]
+                + w11 * wnd[1:w1, 1:w1]
+            )
+
+        def template_setup(I_ref, level, px, py, is_valid):
+            rows, cols, Hp, Wp = make_dims(level)
+            fx = jnp.floor(px)
+            fy = jnp.floor(py)
+            a = px - fx
+            b = py - fy
+            ix = fx.astype(jnp.int32)
+            iy = fy.astype(jnp.int32)
+            templ_ok = (ix >= -win) & (ix < cols) & (iy >= -win) & (iy < rows)
+            sy = jnp.clip(iy + pad, 1, Hp - w1 - 1)
+            sx = jnp.clip(ix + pad, 1, Wp - w1 - 1)
+            blk = load_block(I_ref, sy - 1, sx - 1)
+            wI = blk[1:1 + w1, 1:1 + w1]
+            smr = (blk[0:w1, :] * _SM0 + blk[1:w1 + 1, :] * _SM1
+                   + blk[2:w1 + 2, :] * _SM2)
+            wIx = smr[:, 0:w1] * _DF0 + smr[:, 2:w1 + 2] * _DF2
+            dfr = blk[0:w1, :] * _DF0 + blk[2:w1 + 2, :] * _DF2
+            wIy = (dfr[:, 0:w1] * _SM0 + dfr[:, 1:w1 + 1] * _SM1
+                   + dfr[:, 2:w1 + 2] * _SM2)
+            templ = bilinear(wI, a, b)
+            gx = bilinear(wIx, a, b)
+            gy = bilinear(wIy, a, b)
+            A11 = jnp.sum(gx * gx)
+            A12 = jnp.sum(gx * gy)
+            A22 = jnp.sum(gy * gy)
+            D = A11 * A22 - A12 * A12
+            min_eig = (A22 + A11 - jnp.sqrt((A11 - A22) ** 2 + 4.0 * A12 * A12)
+                       ) / (2.0 * win_area * 1024.0)
+            spectral_ok = (min_eig >= params.min_eig_threshold) & (D >= d_eps)
+            level_ok = templ_ok & spectral_ok & is_valid
+            inv_D = 1.0 / jnp.where(D == 0.0, 1.0, D)
+            return (templ, gx, gy, A11, A12, A22, inv_D, level_ok)
+
+        def solve_level(J_ref, level, finest, setups, inits):
+            """Group-interleaved bounded while_loop — the _level_kernel
+            iteration verbatim, with (I, J) refs bound per (leg, level)."""
+            rows, cols, Hp, Wp = make_dims(level)
+
+            def iter_cond(state):
+                j = state[0]
+                actives = [state[1 + i][4] for i in range(_GROUP)]
+                any_active = actives[0]
+                for aflag in actives[1:]:
+                    any_active = any_active | aflag
+                return any_active & (j < params.max_iters)
+
+            def one(setup, fstate, j):
+                (templ, gx, gy, A11, A12, A22, inv_D, level_ok) = setup
+                nx, ny, pdx, pdy, active, ok0 = fstate
+                jfx = jnp.floor(nx)
+                jfy = jnp.floor(ny)
+                aa = nx - jfx
+                bb = ny - jfy
+                jx = jfx.astype(jnp.int32)
+                jy = jfy.astype(jnp.int32)
+                in_b = (jx >= -win) & (jx < cols) & (jy >= -win) & (jy < rows)
+                ty = jnp.clip(jy + pad, 0, Hp - w1)
+                tx = jnp.clip(jx + pad, 0, Wp - w1)
+                wJ = load_block(J_ref, ty, tx)[:w1, :w1]
+                patch = bilinear(wJ, aa, bb)
+                diff = patch - templ
+                b1 = jnp.sum(diff * gx)
+                b2 = jnp.sum(diff * gy)
+                dx = (A12 * b2 - A22 * b1) * inv_D
+                dy = (A12 * b1 - A11 * b2) * inv_D
+                nnx = nx + dx
+                nny = ny + dy
+                converged = dx * dx + dy * dy <= eps2
+                flip = (j > 0) & (jnp.abs(dx + pdx) < 0.01) & (jnp.abs(dy + pdy) < 0.01)
+                nnx = jnp.where(flip, nnx - dx * 0.5, nnx)
+                nny = jnp.where(flip, nny - dy * 0.5, nny)
+                stop = converged | flip | ~in_b
+                live = active
+                ok0 = ok0 & (in_b | (not finest) | ~live)
+                out_x = jnp.where(in_b & live, nnx, nx)
+                out_y = jnp.where(in_b & live, nny, ny)
+                pdx_o = jnp.where(live, dx, pdx)
+                pdy_o = jnp.where(live, dy, pdy)
+                active_o = live & ~stop
+                return (out_x, out_y, pdx_o, pdy_o, active_o, ok0)
+
+            def iter_body(state):
+                j = state[0]
+                new = tuple(one(setups[i], state[1 + i], j)
+                            for i in range(_GROUP))
+                return (j + 1,) + new
+
+            init = (jnp.int32(0),) + tuple(
+                (inits[i][0], inits[i][1], jnp.float32(0.0), jnp.float32(0.0),
+                 setups[i][7], True)
+                for i in range(_GROUP))
+            result = jax.lax.while_loop(iter_cond, iter_body, init)
+            return [result[1 + i] for i in range(_GROUP)]
+
+        fb = pts_ref.shape[0]
+
+        def body(g, _):
+            fs = [jnp.minimum(g * _GROUP + i, fb - 1) for i in range(_GROUP)]
+            vs = [valid_ref[f, 0] > 0 for f in fs]
+            any_valid = vs[0]
+            for v in vs[1:]:
+                any_valid = any_valid | v
+
+            # All-invalid groups (the feature-capacity padding tail) skip
+            # every load/solve; their outputs are garbage, masked by the
+            # wrapper's where(valid, ...) passthrough.
+            @pl.when(any_valid)
+            def _group():
+                _solve_group(g, fs, vs)
+            return 0
+
+        def _solve_group(g, fs, vs):
+            # Chain positions in level-0 coordinates (original input points).
+            cxs = [pts_ref[f, 0] for f in fs]
+            cys = [pts_ref[f, 1] for f in fs]
+            leg_status = [jnp.bool_(True) for _ in range(_GROUP)]
+
+            # Motion-prior seeds per leg (beyond-reference; OpenCV
+            # OPTFLOW_USE_INITIAL_FLOW semantics): the stereo legs start at
+            # +-disp, the temporal legs at +-flow. Zero seeds reproduce the
+            # identity initialization exactly.
+            fxs = [flow_ref[f, 0] for f in fs]
+            fys = [flow_ref[f, 1] for f in fs]
+            dxs = [disp_ref[f, 0] for f in fs]
+            dys = [disp_ref[f, 1] for f in fs]
+            leg_seed = ((dxs, dys, 1.0), (fxs, fys, 1.0),
+                        (dxs, dys, -1.0), (fxs, fys, -1.0))
+
+            for leg, (i_img, j_img) in enumerate(leg_pairs):
+                safe_x = [jnp.where(vs[i], cxs[i], cx0) for i in range(_GROUP)]
+                safe_y = [jnp.where(vs[i], cys[i], cy0) for i in range(_GROUP)]
+                sdx, sdy, sgn = leg_seed[leg]
+                nx = [(safe_x[i] + sgn * sdx[i]) / (2.0 ** L)
+                      for i in range(_GROUP)]
+                ny = [(safe_y[i] + sgn * sdy[i]) / (2.0 ** L)
+                      for i in range(_GROUP)]
+                ok_leg = [jnp.bool_(True) for _ in range(_GROUP)]
+                for level in range(L, -1, -1):
+                    scale = 2.0 ** level
+                    prev = [(safe_x[i] / scale - half, safe_y[i] / scale - half)
+                            for i in range(_GROUP)]
+                    if level != L:
+                        nx = [v * 2.0 for v in nx]
+                        ny = [v * 2.0 for v in ny]
+                    inits = [(nx[i] - half, ny[i] - half)
+                             for i in range(_GROUP)]
+                    setups = [template_setup(img_refs[i_img][level], level,
+                                             prev[i][0], prev[i][1], vs[i])
+                              for i in range(_GROUP)]
+                    results = solve_level(img_refs[j_img][level], level,
+                                          level == 0, setups, inits)
+                    for i in range(_GROUP):
+                        level_ok = setups[i][7]
+                        rx, ry, ok0 = (results[i][0], results[i][1],
+                                       results[i][5])
+                        out_x = jnp.where(level_ok, rx, inits[i][0])
+                        out_y = jnp.where(level_ok, ry, inits[i][1])
+                        nx[i] = out_x + half
+                        ny[i] = out_y + half
+                        if level == 0:
+                            ok_leg[i] = level_ok & ok0
+                # Commit the leg: tracked position for valid features,
+                # original position otherwise (wrapper parity).
+                for i in range(_GROUP):
+                    cxs[i] = jnp.where(vs[i], nx[i], cxs[i])
+                    cys[i] = jnp.where(vs[i], ny[i], cys[i])
+                    leg_status[i] = leg_status[i] & ok_leg[i]
+                for i, f in enumerate(fs):
+                    @pl.when(g * _GROUP + i <= f)
+                    def _(leg=leg, i=i, f=f):
+                        out_refs[leg][f, 0] = cxs[i]
+                        out_refs[leg][f, 1] = cys[i]
+
+            for i, f in enumerate(fs):
+                @pl.when(g * _GROUP + i <= f)
+                def _(i=i, f=f):
+                    out_refs[4][f, 0] = (leg_status[i] & vs[i]).astype(
+                        jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, pl.cdiv(fb, _GROUP), body, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_quad_call(params: LKParams, shapes: tuple, pad: int, n: int,
+                     interpret: bool):
+    kernel = _quad_kernel(params, shapes, pad)
+    fb = min(_FEATURE_BLOCK, n)
+    grid = (pl.cdiv(n, fb),)
+    img_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    feat_in = pl.BlockSpec((fb, 2), lambda i: (i, 0), memory_space=pltpu.SMEM)
+    mask_in = pl.BlockSpec((fb, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
+    n_imgs = 4 * (params.levels + 1)
+    pts_out = pl.BlockSpec((fb, 2), lambda i: (i, 0),
+                           memory_space=pltpu.SMEM)
+    ok_out = pl.BlockSpec((fb, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[feat_in, mask_in, feat_in, feat_in] + [img_spec] * n_imgs,
+        out_specs=[pts_out] * 4 + [ok_out],
+        out_shape=[jax.ShapeDtypeStruct((n, 2), jnp.float32)] * 4
+        + [jax.ShapeDtypeStruct((n, 1), jnp.int32)],
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+def lk_circular_quad_pallas(
+    img_l0: LKImage,
+    img_r0: LKImage,
+    img_r1: LKImage,
+    img_l1: LKImage,
+    pts: jnp.ndarray,
+    valid: jnp.ndarray,
+    params: LKParams = LKParams(),
+    interpret: bool = False,
+    flow: jnp.ndarray = None,
+    disp: jnp.ndarray = None,
+):
+    """Whole circular quad in ONE kernel launch.
+
+    Tracks L0 -> R0 -> R1 -> L1 -> L0 (reference src/feature.cpp:136-139)
+    and returns (pts_r0, pts_r1, pts_l1, pts_l0_return, status) where
+    status = AND of the four legs' LK statuses and the input mask —
+    numerically identical to four lk_track_pyramid_pallas calls (tested).
+
+    ``flow``/``disp`` (N, 2) seed the temporal/stereo legs' initial
+    estimates (motion prior); zeros (the default) reproduce the identity
+    initialization.
+    """
+    n = pts.shape[0]
+    imgs = (img_l0, img_r0, img_r1, img_l1)
+    shapes = img_l0.shapes
+    for im in imgs[1:]:
+        assert im.shapes == shapes, "quad images must share dimensions"
+    call = _build_quad_call(params, shapes, img_l0.pad, n, interpret)
+    planes = [im.pyramid[lv] for im in imgs
+              for lv in range(params.levels + 1)]
+    valid_i = valid.astype(jnp.int32)[:, None]
+    if flow is None:
+        flow = jnp.zeros((n, 2), jnp.float32)
+    if disp is None:
+        disp = jnp.zeros((n, 2), jnp.float32)
+    r0, r1, l1, ret, ok = call(pts, valid_i, flow, disp, *planes)
+    # Invalid slots pass their input coordinates through (wrapper parity).
+    keep = valid[:, None]
+    r0 = jnp.where(keep, r0, pts)
+    r1 = jnp.where(keep, r1, pts)
+    l1 = jnp.where(keep, l1, pts)
+    ret = jnp.where(keep, ret, pts)
+    return r0, r1, l1, ret, (ok[:, 0] > 0) & valid
+
+
 @functools.partial(jax.jit, static_argnames=("params", "interpret"))
 def lk_track_pyramid_pallas(
     image_I: LKImage,

@@ -51,6 +51,8 @@ def make_batched_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
             valid=_constrain(state.features.valid, P("data", "model")),
             ids=_constrain(state.features.ids, P("data", "model")),
             next_id=_constrain(state.features.next_id, P("data")),
+            flow=_constrain(state.features.flow, P("data", "model", None)),
+            disp=_constrain(state.features.disp, P("data", "model", None)),
         )
         img_spec = P("data", None, None)
         lk_l0 = jax.tree.map(lambda a: _constrain(a, img_spec), state.lk_l0)

@@ -88,7 +88,8 @@ def run_sequence_pipelined(
         raw_l0 = jax.lax.dynamic_slice(lk_l0.pyramid[0], (pad, pad), (h, w))
         bucketed = detect_and_bucket(raw_l0, feats, config)
         match = circular_match(lk_l0, lk_r0, lk_l1, lk_r1, bucketed,
-                               params, config.circle_threshold, lk_backend)
+                               params, config.circle_threshold, lk_backend,
+                               seeding=config.predictive_seeding)
         packet = jnp.concatenate(
             [match.points_l0, match.points_r0, match.points_l1,
              match.valid[:, None].astype(jnp.float32)], axis=1)

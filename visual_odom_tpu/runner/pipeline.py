@@ -124,6 +124,7 @@ def make_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
         match = circular_match(
             state.lk_l0, state.lk_r0, lk_l1, lk_r1, bucketed,
             params, config.circle_threshold, lk_backend,
+            seeding=config.predictive_seeding,
         )
 
         # -- triangulation of t0 stereo pairs -------------------------------

@@ -30,6 +30,8 @@ def save_checkpoint(path: str, vo, extra: Optional[dict] = None) -> None:
         "valid": np.asarray(state.features.valid),
         "ids": np.asarray(state.features.ids),
         "next_id": np.asarray(state.features.next_id),
+        "flow": np.asarray(state.features.flow),
+        "disp": np.asarray(state.features.disp),
         "tvec": np.asarray(state.tvec),
         "key": np.asarray(state.key),
     }
@@ -44,7 +46,7 @@ def save_checkpoint(path: str, vo, extra: Optional[dict] = None) -> None:
 
 
 _REQUIRED_KEYS = ("frame_pose", "frame_id", "points", "ages", "valid",
-                  "ids", "next_id", "tvec", "key")
+                  "ids", "next_id", "flow", "disp", "tvec", "key")
 
 
 class CorruptCheckpoint(ValueError):
@@ -90,6 +92,8 @@ def restore_vo(vo, ckpt: dict, left_t0: np.ndarray, right_t0: np.ndarray) -> int
             valid=jnp.asarray(ckpt["valid"]),
             ids=jnp.asarray(ckpt["ids"]),
             next_id=jnp.asarray(ckpt["next_id"]),
+            flow=jnp.asarray(ckpt["flow"]),
+            disp=jnp.asarray(ckpt["disp"]),
         ),
         lk_l0=prep_image(jnp.asarray(left_t0), vo.config),
         lk_r0=prep_image(jnp.asarray(right_t0), vo.config),
