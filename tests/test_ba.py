@@ -68,3 +68,31 @@ def test_gauge_pose0_fixed():
     p0 = np.asarray(problem.poses[0]).copy()
     solved = ba_solve(problem, iterations=5)
     np.testing.assert_allclose(np.asarray(solved.poses[0]), p0, atol=1e-4)
+
+
+def test_huber_robust_solve_resists_outliers():
+    """Huber IRLS (ba_solve(huber_delta=...)) bounds outlier influence: with
+    a handful of grossly wrong observations, the robust solve recovers poses
+    much better than plain least squares."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    problem, poses_gt, _ = synthetic_ba_problem(
+        num_poses=6, num_landmarks=96, pixel_noise=0.2, seed=9)
+    obs = np.asarray(problem.observations).copy()
+    rng = np.random.default_rng(0)
+    # Corrupt 4% of observations by 30-80 px.
+    W, L, _ = obs.shape
+    n_bad = (W * L) // 25
+    wi = rng.integers(0, W, n_bad)
+    li = rng.integers(0, L, n_bad)
+    obs[wi, li] += rng.uniform(30, 80, (n_bad, 3)) * rng.choice(
+        [-1, 1], (n_bad, 3))
+    corrupted = problem._replace(observations=jnp.asarray(obs, jnp.float32))
+
+    plain = ba_solve(corrupted, iterations=10)
+    robust = ba_solve(corrupted, iterations=10, huber_delta=1.5)
+    err_plain = np.abs(np.asarray(plain.poses) - poses_gt).max()
+    err_robust = np.abs(np.asarray(robust.poses) - poses_gt).max()
+    assert err_robust < 0.5 * err_plain, (err_plain, err_robust)
+    assert err_robust < 0.01, err_robust

@@ -33,11 +33,17 @@ _HI = jax.lax.Precision.HIGHEST
 _GAUGE_PRIOR = 1e9
 
 
-def _jacobian_blocks(problem: BAProblem):
+def _jacobian_blocks(problem: BAProblem, huber_delta: float = 0.0):
     """Per-observation Jacobians A (d r / d pose) and B (d r / d landmark).
 
     Returns (A (W, L, 3, 6), B (W, L, 3, 3), r (W, L, 3)) with masked rows
     zeroed (zero residual AND zero Jacobian = observation absent).
+
+    ``huber_delta`` > 0 applies iteratively-reweighted least squares with
+    the Huber loss at that pixel scale: each observation is scaled by
+    sqrt(min(1, delta / |r|)), so outliers (bad LK tracks that slipped
+    through the closure check) enter the normal equations with bounded
+    influence instead of quadratic pull.
     """
     intr = (problem.fx, problem.fy, problem.cx, problem.cy, problem.bf)
 
@@ -58,12 +64,19 @@ def _jacobian_blocks(problem: BAProblem):
     r = jnp.where(m, r, 0.0)
     A = jnp.where(m[..., None], A, 0.0)
     B = jnp.where(m[..., None], B, 0.0)
+    if huber_delta > 0.0:
+        nrm = jnp.linalg.norm(r, axis=-1, keepdims=True)        # (W, L, 1)
+        w = jnp.sqrt(jnp.minimum(1.0, huber_delta / jnp.maximum(nrm, 1e-12)))
+        r = r * w
+        A = A * w[..., None]
+        B = B * w[..., None]
     return A, B, r
 
 
-@partial(jax.jit, static_argnames=("damping",))
+@partial(jax.jit, static_argnames=("damping", "huber_delta"))
 def ba_gauss_newton_step(problem: BAProblem, damping: float = 1e-4,
-                         anchor=None, anchor_w=None) -> BAProblem:
+                         anchor=None, anchor_w=None,
+                         huber_delta: float = 0.0) -> BAProblem:
     """One damped GN step. Returns the updated problem.
 
     anchor (W, 6) / anchor_w (W,) add per-pose quadratic priors
@@ -80,7 +93,7 @@ def ba_gauss_newton_step(problem: BAProblem, damping: float = 1e-4,
         anchor = problem.poses
     if anchor_w is None:
         anchor_w = jnp.zeros(W, problem.poses.dtype).at[0].set(_GAUGE_PRIOR)
-    A, B, r = _jacobian_blocks(problem)
+    A, B, r = _jacobian_blocks(problem, huber_delta=huber_delta)
 
     # Block accumulations (contraction over landmarks marked "L!").
     Hpp = jnp.einsum("wlri,wlrj->wij", A, A, precision=_HI)        # (W, 6, 6)
@@ -125,14 +138,15 @@ def ba_gauss_newton_step(problem: BAProblem, damping: float = 1e-4,
     return problem._replace(poses=new_poses, landmarks=new_landmarks)
 
 
-@partial(jax.jit, static_argnames=("iterations", "damping"))
+@partial(jax.jit, static_argnames=("iterations", "damping", "huber_delta"))
 def ba_solve(problem: BAProblem, iterations: int = 10,
-             damping: float = 1e-4) -> BAProblem:
+             damping: float = 1e-4, huber_delta: float = 0.0) -> BAProblem:
     """Fixed-iteration GN loop (static trip count; extra steps are no-ops at
-    the optimum)."""
+    the optimum). ``huber_delta`` > 0 = robust (Huber IRLS) solve."""
 
     def body(p, _):
-        return ba_gauss_newton_step(p, damping=damping), None
+        return ba_gauss_newton_step(p, damping=damping,
+                                    huber_delta=huber_delta), None
 
     out, _ = jax.lax.scan(body, problem, None, length=iterations)
     return out
