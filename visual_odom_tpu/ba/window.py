@@ -180,6 +180,7 @@ def smooth_trajectory_ba(
     max_landmarks: int = 256,
     min_track_len: int = 3,
     solver=None,
+    huber_delta: float = 1.5,
 ) -> np.ndarray:
     """Windowed-BA smoothing of a chained VO trajectory.
 
@@ -191,7 +192,9 @@ def smooth_trajectory_ba(
       window: frames per BA window (non-overlapping, sequential).
       solver: optional override called as solver(problem) -> problem
         (e.g. a ring_ba_solve closure for device-sharded windows);
-        defaults to the single-device ba_solve.
+        defaults to the single-device ba_solve with Huber IRLS at
+        ``huber_delta`` px (live tracks carry occasional outliers past the
+        closure check; robust weighting bounds their influence).
 
     Returns the smoothed (N+1, 4, 4) trajectory: refined window-relative
     poses composed sequentially; frames past the last full window keep
@@ -201,7 +204,8 @@ def smooth_trajectory_ba(
     out = poses_chained.astype(np.float64).copy()
     if solver is None:
         def solver(p):
-            return ba_solve(p, iterations=iterations)
+            return ba_solve(p, iterations=iterations,
+                            huber_delta=huber_delta)
 
     # Window w covers frames [a, a+window) with snapshots for frames
     # a+1..a+window-1 plus frame a itself (snapshot a exists for a >= 1).

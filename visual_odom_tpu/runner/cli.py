@@ -271,6 +271,12 @@ def _cmd_bench(args) -> int:
     cmd = [sys.executable, "bench.py"]
     if args.quick:
         cmd.append("--quick")
+    if args.frames:
+        cmd += ["--frames", str(args.frames)]
+    if args.height:
+        cmd += ["--height", str(args.height)]
+    if args.width:
+        cmd += ["--width", str(args.width)]
     return subprocess.call(cmd)
 
 
@@ -337,6 +343,9 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench", help="run the benchmark harness")
     pb.add_argument("--quick", action="store_true")
+    pb.add_argument("--frames", type=int, default=0)
+    pb.add_argument("--height", type=int, default=0)
+    pb.add_argument("--width", type=int, default=0)
     pb.set_defaults(fn=_cmd_bench)
 
     args = p.parse_args(argv)
