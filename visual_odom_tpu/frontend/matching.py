@@ -89,9 +89,10 @@ def circular_match(
         disp = jnp.zeros_like(pts_l0)
 
     if backend == "pallas":
-        # The whole quad is ONE kernel launch (ops/lk_pallas.py quad
-        # kernel): all 16 level planes resident in VMEM, no inter-leg
-        # dispatch. Numerically identical to the chained per-leg calls.
+        # The whole quad runs as two fused 2-leg kernels (ops/lk_pallas.py
+        # _legs_kernel): each keeps its 3 images' pyramids VMEM-resident,
+        # no per-level dispatch. Numerically identical to the chained
+        # per-leg calls.
         from visual_odom_tpu.ops.lk_pallas import lk_circular_quad_pallas
 
         pts_r0, pts_r1, pts_l1, pts_ret, legs_ok = lk_circular_quad_pallas(

@@ -281,14 +281,22 @@ def _build_level_call(params: LKParams, rows: int, cols: int, pad: int,
     )
 
 
-def _quad_kernel(params: LKParams, shapes: tuple, pad: int):
-    """One kernel for the WHOLE circular quad: 4 chained LK legs
-    (L0->R0->R1->L1->L0) x all pyramid levels, per feature group.
+def _legs_kernel(params: LKParams, shapes: tuple, pad: int, n_imgs: int,
+                 leg_pairs: tuple, leg_seeds: tuple):
+    """One kernel for a CHAIN of LK legs x all pyramid levels, per feature
+    group. The circular quad (L0->R0->R1->L1->L0, reference
+    src/feature.cpp:136-139) runs as two 2-leg chains: all planes of one
+    chain's images stay VMEM-resident across the grid, and a full quad in
+    a single kernel would exceed the 16 MB scoped-VMEM limit at KITTI size
+    (4 images x 4 levels ~ 17 MB; 3 images ~ 13 MB).
 
     Same per-level numerics as _level_kernel (template setup, bounded
-    while_loop with damping and spectral gates); merging removes 15 of the
-    16 kernel launches per frame and the inter-leg XLA glue, and keeps all
-    16 image planes resident in VMEM across the grid.
+    while_loop with damping and spectral gates); merging removes the
+    per-level launches and the inter-leg XLA glue.
+
+    leg_pairs: ((i_img, j_img), ...) indices into this kernel's image list.
+    leg_seeds: ((src, sign), ...) motion-prior seed per leg — src 0 = disp,
+    1 = flow; the leg's initial estimate is chain + sign * seed.
     """
     win = params.window
     w1 = win + 1
@@ -299,14 +307,12 @@ def _quad_kernel(params: LKParams, shapes: tuple, pad: int):
     L = params.levels
     rows0, cols0 = shapes[0]
     cx0, cy0 = cols0 * 0.5, rows0 * 0.5
-    # Leg k tracks from image LEG_PAIRS[k][0] into LEG_PAIRS[k][1]
-    # (image order L0, R0, R1, L1 — reference src/feature.cpp:136-139).
-    leg_pairs = ((0, 1), (1, 2), (2, 3), (3, 0))
+    n_legs = len(leg_pairs)
 
     def kernel(pts_ref, valid_ref, flow_ref, disp_ref, *refs):
         img_refs = [[refs[im * (L + 1) + lv] for lv in range(L + 1)]
-                    for im in range(4)]
-        out_refs = refs[4 * (L + 1):]          # 4 x (fb, 2) pts + (fb, 1) ok
+                    for im in range(n_imgs)]
+        out_refs = refs[n_imgs * (L + 1):]   # n_legs x (fb, 2) + (fb, 1) ok
 
         def make_dims(level):
             rows, cols = shapes[level]
@@ -459,8 +465,9 @@ def _quad_kernel(params: LKParams, shapes: tuple, pad: int):
             fys = [flow_ref[f, 1] for f in fs]
             dxs = [disp_ref[f, 0] for f in fs]
             dys = [disp_ref[f, 1] for f in fs]
-            leg_seed = ((dxs, dys, 1.0), (fxs, fys, 1.0),
-                        (dxs, dys, -1.0), (fxs, fys, -1.0))
+            leg_seed = tuple(
+                ((dxs, dys, sign) if src == 0 else (fxs, fys, sign))
+                for src, sign in leg_seeds)
 
             for leg, (i_img, j_img) in enumerate(leg_pairs):
                 safe_x = [jnp.where(vs[i], cxs[i], cx0) for i in range(_GROUP)]
@@ -510,7 +517,7 @@ def _quad_kernel(params: LKParams, shapes: tuple, pad: int):
             for i, f in enumerate(fs):
                 @pl.when(g * _GROUP + i <= f)
                 def _(i=i, f=f):
-                    out_refs[4][f, 0] = (leg_status[i] & vs[i]).astype(
+                    out_refs[n_legs][f, 0] = (leg_status[i] & vs[i]).astype(
                         jnp.int32)
             return 0
 
@@ -520,24 +527,26 @@ def _quad_kernel(params: LKParams, shapes: tuple, pad: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_quad_call(params: LKParams, shapes: tuple, pad: int, n: int,
-                     interpret: bool):
-    kernel = _quad_kernel(params, shapes, pad)
+def _build_legs_call(params: LKParams, shapes: tuple, pad: int, n: int,
+                     interpret: bool, n_imgs: int, leg_pairs: tuple,
+                     leg_seeds: tuple):
+    kernel = _legs_kernel(params, shapes, pad, n_imgs, leg_pairs, leg_seeds)
     fb = min(_FEATURE_BLOCK, n)
     grid = (pl.cdiv(n, fb),)
     img_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     feat_in = pl.BlockSpec((fb, 2), lambda i: (i, 0), memory_space=pltpu.SMEM)
     mask_in = pl.BlockSpec((fb, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
-    n_imgs = 4 * (params.levels + 1)
+    n_planes = n_imgs * (params.levels + 1)
+    n_legs = len(leg_pairs)
     pts_out = pl.BlockSpec((fb, 2), lambda i: (i, 0),
                            memory_space=pltpu.SMEM)
     ok_out = pl.BlockSpec((fb, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[feat_in, mask_in, feat_in, feat_in] + [img_spec] * n_imgs,
-        out_specs=[pts_out] * 4 + [ok_out],
-        out_shape=[jax.ShapeDtypeStruct((n, 2), jnp.float32)] * 4
+        in_specs=[feat_in, mask_in, feat_in, feat_in] + [img_spec] * n_planes,
+        out_specs=[pts_out] * n_legs + [ok_out],
+        out_shape=[jax.ShapeDtypeStruct((n, 2), jnp.float32)] * n_legs
         + [jax.ShapeDtypeStruct((n, 1), jnp.int32)],
         interpret=interpret,
     )
@@ -556,31 +565,45 @@ def lk_circular_quad_pallas(
     flow: jnp.ndarray = None,
     disp: jnp.ndarray = None,
 ):
-    """Whole circular quad in ONE kernel launch.
+    """Whole circular quad in two fused kernel launches.
 
     Tracks L0 -> R0 -> R1 -> L1 -> L0 (reference src/feature.cpp:136-139)
     and returns (pts_r0, pts_r1, pts_l1, pts_l0_return, status) where
     status = AND of the four legs' LK statuses and the input mask —
     numerically identical to four lk_track_pyramid_pallas calls (tested).
+    Two launches, not one: each keeps its 3 images' pyramids VMEM-resident,
+    and a single-launch quad exceeds the 16 MB scoped-VMEM limit at KITTI
+    size.
 
     ``flow``/``disp`` (N, 2) seed the temporal/stereo legs' initial
     estimates (motion prior); zeros (the default) reproduce the identity
     initialization.
     """
     n = pts.shape[0]
-    imgs = (img_l0, img_r0, img_r1, img_l1)
     shapes = img_l0.shapes
-    for im in imgs[1:]:
+    for im in (img_r0, img_r1, img_l1):
         assert im.shapes == shapes, "quad images must share dimensions"
-    call = _build_quad_call(params, shapes, img_l0.pad, n, interpret)
-    planes = [im.pyramid[lv] for im in imgs
-              for lv in range(params.levels + 1)]
     valid_i = valid.astype(jnp.int32)[:, None]
     if flow is None:
         flow = jnp.zeros((n, 2), jnp.float32)
     if disp is None:
         disp = jnp.zeros((n, 2), jnp.float32)
-    r0, r1, l1, ret, ok = call(pts, valid_i, flow, disp, *planes)
+
+    def planes_of(*imgs):
+        return [im.pyramid[lv] for im in imgs
+                for lv in range(params.levels + 1)]
+
+    # Two 2-leg chains (VMEM budget: 3 images resident per kernel).
+    call_a = _build_legs_call(params, shapes, img_l0.pad, n, interpret, 3,
+                              ((0, 1), (1, 2)), ((0, 1.0), (1, 1.0)))
+    r0, r1, ok_a = call_a(pts, valid_i, flow, disp,
+                          *planes_of(img_l0, img_r0, img_r1))
+    r1m = jnp.where(valid[:, None], r1, pts)
+    call_b = _build_legs_call(params, shapes, img_l0.pad, n, interpret, 3,
+                              ((0, 1), (1, 2)), ((0, -1.0), (1, -1.0)))
+    l1, ret, ok_b = call_b(r1m, valid_i, flow, disp,
+                           *planes_of(img_r1, img_l1, img_l0))
+    ok = ok_a & ok_b
     # Invalid slots pass their input coordinates through (wrapper parity).
     keep = valid[:, None]
     r0 = jnp.where(keep, r0, pts)
