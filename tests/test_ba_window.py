@@ -103,27 +103,66 @@ def test_ba_smoothing_improves_ate(vo_run):
     np.testing.assert_allclose(smoothed[0], np.eye(4), atol=1e-6)
 
 
-def test_ba_smoothing_with_ring_solver(vo_run):
-    """The ring-sharded sequence-parallel solver plugs into the live-track
-    smoother: windows shard over a 4-device mesh, and the smoothed
-    trajectory still beats plain chaining. (Real tracks can span more than
-    halo+1 keyframes, so the ring solve is approximate here — the halo
-    truncates coupling — but it must still descend.)"""
+def test_ba_smoothing_with_ring_solver_exact(vo_run):
+    """VERDICT.md round-2 weak #4 done-criterion: live-track ring smoothing
+    is EXACT — the sharded solver path produces the same smoothed
+    trajectory as the single-device ba_solve (auto-halo from the observed
+    track spans; unsharded fallback whenever the mesh can't afford the
+    halo, so the result is never silently approximate)."""
     from visual_odom_tpu.parallel.mesh import make_mesh
-    from visual_odom_tpu.parallel.ring_ba import ring_ba_solve
+    from visual_odom_tpu.parallel.ring_ba import make_ring_window_solver
 
     seq, intr, poses, snaps = vo_run
     gt = seq.poses[: len(poses)]
     mesh = make_mesh({"seq": 4})
 
-    def solver(problem):
-        return ring_ba_solve(problem, mesh, halo=2, rounds=8)
+    ref = smooth_trajectory_ba(snaps, poses, intr, window=8, iterations=8)
+    ring = smooth_trajectory_ba(snaps, poses, intr, window=8,
+                                solver=make_ring_window_solver(mesh))
+    np.testing.assert_allclose(ring, ref, atol=5e-4)
+    assert ate_rmse(gt, ring) < ate_rmse(gt, poses)
 
-    smoothed = smooth_trajectory_ba(snaps, poses, intr, window=8,
-                                    solver=solver)
-    ate_chain = ate_rmse(gt, poses)
-    ate_ring = ate_rmse(gt, smoothed)
-    assert ate_ring < ate_chain, (ate_chain, ate_ring)
+
+def test_ring_window_solver_engages_ring_path(vo_run):
+    """When the window is long enough that core >= required halo, the ring
+    branch (not the fallback) runs — and still float-matches the global
+    solve on the same live-track problem."""
+    from visual_odom_tpu.ba.schur import ba_solve
+    from visual_odom_tpu.parallel.mesh import make_mesh
+    from visual_odom_tpu.parallel.ring_ba import (
+        make_ring_window_solver,
+        pad_problem_for_ring,
+        required_ring_halo,
+        ring_ba_solve,
+    )
+
+    # Short-lived tracks (age cap 4) keep the required halo below the core
+    # size; the default age cap of 10 makes every 16-frame window fall back
+    # to the (equally exact) unsharded solve.
+    intr = CameraIntrinsics(fx=120.0, fy=120.0, cx=W / 2, cy=H / 2,
+                            bf=-120.0 * 0.54, width=W, height=H)
+    cfg = VOConfig.for_image(H, W, ransac_iterations=200, age_threshold=4)
+    seq = SyntheticStereoSequence(intr, num_frames=17, seed=0, speed=0.5)
+    poses, results, snaps = run_sequence(seq, cfg, intr, collect_tracks=True)
+    tracks = _window_tracks(snaps, list(range(0, 16)))
+    problem = build_window_problem(tracks, poses[:16], intr)
+    assert problem is not None
+    halo = required_ring_halo(problem)
+    D = 2
+    core = 16 // D
+    assert halo <= core, (
+        f"tracks span too far (halo {halo} > core {core}); "
+        "ring path untested")
+    mesh = make_mesh({"seq": D})
+    ring = ring_ba_solve(problem, mesh, halo=None, rounds=8,
+                         huber_delta=1.5)
+    ref = ba_solve(problem, iterations=8, huber_delta=1.5)
+    np.testing.assert_allclose(np.asarray(ring.poses),
+                               np.asarray(ref.poses), atol=5e-4)
+    # And the factory picks the same path for this problem shape.
+    solved = make_ring_window_solver(mesh)(problem)
+    np.testing.assert_allclose(np.asarray(solved.poses),
+                               np.asarray(ring.poses), atol=5e-4)
 
 
 def test_smoothing_noop_without_enough_tracks(vo_run):

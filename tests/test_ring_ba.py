@@ -7,6 +7,7 @@ solve. Runs on the conftest-provided 8-device CPU mesh.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -34,7 +35,7 @@ def _long_problem(num_poses=16, num_landmarks=128, seed=3, obs_window=1):
 def test_windowing_roundtrip_identity():
     """Splitting then merging without solving returns the input exactly."""
     problem, *_ = _long_problem(num_poses=8, num_landmarks=32)
-    win = make_ring_windows(problem, num_windows=4, halo=1)
+    win = make_ring_windows(problem, num_windows=4, halo=2)
     out = merge_ring_windows(problem, win, np.asarray(win.poses),
                              np.asarray(win.landmarks))
     np.testing.assert_allclose(out.poses, problem.poses, atol=1e-7)
@@ -43,7 +44,7 @@ def test_windowing_roundtrip_identity():
 
 def test_window_masks_cover_each_obs_once():
     problem, *_ = _long_problem(num_poses=8, num_landmarks=32)
-    win = make_ring_windows(problem, num_windows=4, halo=1)
+    win = make_ring_windows(problem, num_windows=4, halo=2)
     core, halo = win.core, win.halo
     core_mask = np.asarray(win.mask[:, halo:halo + core])  # (D, core, L)
     flat = core_mask.reshape(-1, core_mask.shape[-1])
@@ -94,6 +95,52 @@ def test_ring_ba_single_window_degenerates_to_local():
     ref = ba_solve(problem, iterations=10)
     np.testing.assert_allclose(np.asarray(out.poses), np.asarray(ref.poses),
                                atol=1e-4)
+
+
+def test_make_ring_windows_rejects_undersized_halo():
+    """ADVICE.md round 2 (medium): a halo smaller than the observed track
+    span must raise, not silently drop pose-pose coupling."""
+    problem, *_ = _long_problem(obs_window=2)  # spans up to 5 poses
+    from visual_odom_tpu.parallel.ring_ba import required_ring_halo
+
+    assert required_ring_halo(problem) == 4
+    with pytest.raises(ValueError, match="span"):
+        make_ring_windows(problem, num_windows=4, halo=1)
+    # halo >= span is accepted.
+    make_ring_windows(problem, num_windows=4, halo=4)
+
+
+def test_ring_ba_auto_halo_and_huber_match_global():
+    """halo=None derives the exact halo from the mask; huber_delta routes
+    the same IRLS weighting as ba_solve — together the ring solve still
+    float-matches the global robust solve."""
+    problem, _, _ = _long_problem(obs_window=1)
+    # Inject a gross outlier observation to give Huber something to clamp.
+    obs = np.asarray(problem.observations).copy()
+    mask = np.asarray(problem.mask)
+    w, l = np.argwhere(mask)[0]
+    obs[w, l, :2] += 25.0
+    problem = problem._replace(observations=jnp.asarray(obs))
+
+    mesh = make_mesh({"seq": 8})
+    ref = ba_solve(problem, iterations=8, huber_delta=1.5)
+    out = ring_ba_solve(problem, mesh, halo=None, rounds=8, huber_delta=1.5)
+    np.testing.assert_allclose(np.asarray(out.poses),
+                               np.asarray(ref.poses), atol=5e-4)
+
+
+def test_pad_problem_for_ring_is_inert():
+    """Padded observation-less poses take a zero GN update and the core
+    solution matches the unpadded solve."""
+    from visual_odom_tpu.parallel.ring_ba import pad_problem_for_ring
+
+    problem, *_ = _long_problem(num_poses=12, num_landmarks=64)
+    padded = pad_problem_for_ring(problem, 16)
+    mesh = make_mesh({"seq": 4})
+    out = ring_ba_solve(padded, mesh, halo=2, rounds=8)
+    ref = ba_solve(problem, iterations=8)
+    np.testing.assert_allclose(np.asarray(out.poses[:12]),
+                               np.asarray(ref.poses), atol=1e-4)
 
 
 def test_anchor_prior_pulls_pose_toward_anchor():

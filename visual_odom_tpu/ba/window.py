@@ -191,7 +191,8 @@ def smooth_trajectory_ba(
       poses_chained: (N+1, 4, 4) chained odometry poses including frame 0.
       window: frames per BA window (non-overlapping, sequential).
       solver: optional override called as solver(problem) -> problem
-        (e.g. a ring_ba_solve closure for device-sharded windows);
+        (use parallel.ring_ba.make_ring_window_solver for device-sharded
+        windows — exact via auto-halo, with unsharded fallback);
         defaults to the single-device ba_solve with Huber IRLS at
         ``huber_delta`` px (live tracks carry occasional outliers past the
         closure check; robust weighting bounds their influence).

@@ -177,7 +177,7 @@ def pnp_ransac(
     x_s = points2d[sample_idx]                                 # (H, k, 2)
     w_s = jnp.ones((iterations, sample_size), jnp.float32)
 
-    # Dual-start hypotheses: odd hypotheses refine from the warm start, even
+    # Dual-start hypotheses: even hypotheses refine from the warm start, odd
     # ones from the identity pose. Frame-to-frame deltas are small, so the
     # identity is always a sane basin; this makes RANSAC recover even when
     # the warm start is far off (a diverged previous frame), at zero extra

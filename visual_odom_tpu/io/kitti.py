@@ -80,7 +80,7 @@ class KittiSequence:
         for i in range(self.num_frames):
             try:
                 yield self.frame(i)
-            except Exception as e:  # missing pair file, truncated PNG, ...
+            except (OSError, ValueError) as e:  # missing file, bad PNG, ...
                 print(f"warning: frame {i} unreadable ({e!r}); "
                       f"ending sequence at {i} frames", file=sys.stderr)
                 return
@@ -117,7 +117,7 @@ class KittiSequence:
                     b = loader.next_frame()
                     if b is None:
                         return
-                except Exception as e:  # truncated/corrupt PNG mid-stream
+                except (OSError, ValueError) as e:  # truncated/corrupt PNG
                     print(f"warning: unreadable frame in prefetch stream "
                           f"({e!r}); ending sequence early", file=sys.stderr)
                     return

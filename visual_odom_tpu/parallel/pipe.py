@@ -66,6 +66,14 @@ def run_sequence_pipelined(
     Returns (poses (N+1, 4, 4) float64, fetched StepOutput stack, wall_s) —
     same contract (and the same numbers) as runner.run_sequence_scan.
     """
+    if config.mono_rotation:
+        # The backend stage below always takes rotation from pnp.rvec; the
+        # essential-matrix rotation path would need the l0/l1 points in its
+        # packet. Refuse rather than silently diverge from the sequential
+        # runner's numbers (module contract above).
+        raise NotImplementedError(
+            "run_sequence_pipelined does not implement mono_rotation; "
+            "use the sequential or scan runner")
     devs = list(devices if devices is not None else jax.devices())
     if len(devs) < 2:
         raise ValueError("pipeline parallelism needs two devices")

