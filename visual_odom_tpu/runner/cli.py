@@ -160,7 +160,8 @@ def _cmd_run(args) -> int:
                     make_ring_window_solver,
                 )
 
-                n_dev = args.ba_ring if args.ba_ring > 0 else len(jax.devices())
+                avail = len(jax.devices())
+                n_dev = min(args.ba_ring, avail) if args.ba_ring > 0 else avail
                 mesh = make_mesh({"seq": n_dev})
                 solver = make_ring_window_solver(mesh)
             poses = smooth_trajectory_ba(snaps, poses, intr,
