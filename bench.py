@@ -8,9 +8,18 @@ Baseline: the reference's published CUDA figure is 60-80 FPS end-to-end on
 KITTI-sized frames (reference README.md:41; BASELINE.md target >= 80
 FPS/chip), so vs_baseline is against 80.
 
+Accuracy gauntlet (VERDICT.md round-2 missing #1): the trajectory is scored
+on THREE rendered courses — the gentle straight corridor, a turning course
+whose peak per-frame yaw approaches the reference's 0.1 rad gate
+(src/main.cpp:201-208), and a stress course adding exposure drift, sensor
+noise, occluders and a low-texture stretch. ``accuracy_ok`` (which gates
+vs_baseline) requires accept_ratio >= 0.9 AND ATE <= 1% of course length on
+EVERY course. The headline FPS is measured on the straight course (same
+workload as rounds 1-2, so the ledger stays comparable).
+
 Design notes for the axon TPU tunnel: device->host fetches cost ~1 s each
 regardless of size, so the pipeline loop keeps every per-frame output on
-device (runner.run_sequence_buffered) and the bench excludes the one final
+device (runner.run_sequence_scan) and the bench excludes the one final
 fetch from the timed region. Frames are pre-uploaded (uint8, 1.3 ms each) —
 the metric is device pipeline throughput, matching how the reference's 60-80
 FPS is quoted (images preloaded by the OS page cache).
@@ -18,32 +27,70 @@ FPS is quoted (images preloaded by the OS page cache).
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+_COURSE_CACHE = os.environ.get("VO_COURSE_CACHE", "/tmp/vo_course_cache")
 
-def bench_pipeline(num_frames: int, height: int, width: int, reps: int = 2):
-    """Steady-state device pipeline throughput via the chunked-scan runner.
+
+def _kitti_intrinsics(height: int, width: int):
+    from visual_odom_tpu.config import CameraIntrinsics
+
+    s = width / 1241.0
+    return CameraIntrinsics(
+        fx=718.856 * s, fy=718.856 * s, cx=width / 2.0, cy=height / 2.0,
+        bf=-718.856 * s * 0.537, width=width, height=height,
+    )
+
+
+def render_course(name: str, num_frames: int, height: int, width: int):
+    """Render (or load from the npz cache) one gauntlet course.
+
+    Returns (frames list[(L, R)], gt_poses). Rendering is host NumPy at
+    ~1 s/frame at KITTI size; the cache makes repeated bench runs cheap.
+    """
+    from visual_odom_tpu.io.synthetic import make_course
+
+    intr = _kitti_intrinsics(height, width)
+    key = f"{name}_{width}x{height}_{num_frames}_v3"
+    path = os.path.join(_COURSE_CACHE, key + ".npz")
+    if os.path.exists(path):
+        try:
+            with np.load(path) as z:
+                lefts, rights, poses = z["lefts"], z["rights"], z["poses"]
+            return ([(lefts[i], rights[i]) for i in range(len(lefts))],
+                    poses, intr)
+        except Exception:
+            pass  # corrupt cache -> re-render
+    seq = make_course(name, intr, num_frames=num_frames)
+    frames = list(seq)
+    os.makedirs(_COURSE_CACHE, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}.npz"  # keep .npz: savez appends it else
+    np.savez_compressed(
+        tmp, lefts=np.stack([f[0] for f in frames]),
+        rights=np.stack([f[1] for f in frames]), poses=seq.poses)
+    os.replace(tmp, path)
+    return frames, seq.poses, intr
+
+
+def bench_course(name: str, num_frames: int, height: int, width: int,
+                 reps: int = 1):
+    """Run the chunked-scan pipeline over one course; returns
+    (best_fps, per-course metrics dict).
 
     Compile + first-execution program load are excluded (run_sequence_scan
     warms up on the first chunk before timing), matching how the reference's
     60-80 FPS CUDA figure is quoted (OpenCV context warm, images in page
     cache).
     """
-    from visual_odom_tpu.config import CameraIntrinsics, VOConfig
-    from visual_odom_tpu.io.synthetic import SyntheticStereoSequence
+    from visual_odom_tpu.config import VOConfig
     from visual_odom_tpu.runner.pipeline import run_sequence_scan
 
-    s = width / 1241.0
-    intr = CameraIntrinsics(
-        fx=718.856 * s, fy=718.856 * s, cx=width / 2.0, cy=height / 2.0,
-        bf=-718.856 * s * 0.537, width=width, height=height,
-    )
+    frames, gt, intr = render_course(name, num_frames, height, width)
     cfg = VOConfig.for_image(height, width)
-    seq = SyntheticStereoSequence(intr, num_frames=num_frames, seed=0, speed=0.8)
-    frames = list(seq)
 
     best_fps = 0.0
     fetched = None
@@ -53,68 +100,74 @@ def bench_pipeline(num_frames: int, height: int, width: int, reps: int = 2):
             frames, cfg, intr, chunk=32)
         fps = processed / wall
         best_fps = max(best_fps, fps)
-    matched = float(np.mean(fetched.num_matched))
     accept = float(np.mean(fetched.accept))
 
     # Accuracy against the exact rendering ground truth (BASELINE.md's FIRST
     # target is ATE <= reference; a perf number without a correctness gate
     # is meaningless — VERDICT.md round-1 weak #1/#2).
-    gt = seq.poses
     err = np.linalg.norm(poses[: len(gt), :3, 3] - gt[:, :3, 3], axis=1)
     ate_rmse = float(np.sqrt(np.mean(err**2)))
     course_len = float(np.sum(np.linalg.norm(
         np.diff(gt[:, :3, 3], axis=0), axis=1)))
     ate_budget = 0.01 * course_len  # 1% of distance traveled
-    accuracy_ok = (accept >= 0.9) and (ate_rmse <= ate_budget)
-    extras = {
-        "mean_matched": matched,
+    ok = (accept >= 0.9) and (ate_rmse <= ate_budget)
+    m = {
+        "fps": round(best_fps, 2),
+        "mean_matched": round(float(np.mean(fetched.num_matched)), 1),
         "accept_ratio": round(accept, 4),
         "ate_rmse_m": round(ate_rmse, 4),
         "ate_budget_m": round(ate_budget, 3),
         "course_len_m": round(course_len, 1),
-        "accuracy_ok": accuracy_ok,
+        "ok": ok,
     }
-    # KITTI-devkit segment errors (needs >= 100 m of path; the 161-frame
-    # course is 128 m, so the 100 m segment length contributes).
+    # KITTI-devkit segment errors (needs >= 100 m of path).
     if course_len >= 100.0:
         from visual_odom_tpu.eval.kitti_eval import evaluate_sequence
 
         score = evaluate_sequence(gt, poses[: len(gt)])
         if np.isfinite(score.get("t_err_pct", float("nan"))):
-            extras["t_err_pct"] = round(float(score["t_err_pct"]), 4)
-            extras["r_err_deg_per_m"] = round(
-                float(score["r_err_deg_per_m"]), 5)
-    return best_fps, extras
+            m["t_err_pct"] = round(float(score["t_err_pct"]), 4)
+            m["r_err_deg_per_m"] = round(float(score["r_err_deg_per_m"]), 5)
+    return best_fps, m
 
 
-def bench_lk(n_points: int, height: int, width: int, iters: int = 20):
-    """Circular-matching throughput: tracked feature-pairs per second
-    (4 LK legs per feature = 1 circular match)."""
+def bench_lk(n_points: int, height: int, width: int, iters: int = 20,
+             frames=None):
+    """Circular-matching throughput on REALISTIC content: tracked
+    feature-pairs per second (4 LK legs per feature = 1 circular match),
+    measured between two consecutive rendered frames of the straight course
+    — real flow/disparity/texture statistics, not np.roll on white noise
+    (VERDICT.md round-2 weak #3).
+
+    Also asserts on-chip Pallas/XLA parity on this content when running on
+    TPU, so a Mosaic-level regression fails the bench loudly (VERDICT.md
+    round-2 next #8)."""
     import jax
     import jax.numpy as jnp
 
-    import jax
-
     from visual_odom_tpu.ops.lk import LKParams, prepare_lk_image
+    from visual_odom_tpu.ops.lk import lk_track_pyramid as lk_xla
 
-    if jax.default_backend() == "tpu":
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
         from visual_odom_tpu.ops.lk_pallas import (
             lk_track_pyramid_pallas as lk_track_pyramid,
         )
     else:
-        from visual_odom_tpu.ops.lk import lk_track_pyramid
+        lk_track_pyramid = lk_xla
 
-    rng = np.random.default_rng(0)
-    img = rng.uniform(0, 255, (height, width)).astype(np.float32)
-    img2 = np.roll(img, 2, axis=1)
+    if frames is None:
+        frames, _, _ = render_course("straight", 12, height, width)
+    (l0, _), (l1, _) = frames[10], frames[11]
     params = LKParams()
-    a = prepare_lk_image(jnp.asarray(img), params)
-    b = prepare_lk_image(jnp.asarray(img2), params)
+    a = prepare_lk_image(jnp.asarray(l0.astype(np.float32)), params)
+    b = prepare_lk_image(jnp.asarray(l1.astype(np.float32)), params)
+    rng = np.random.default_rng(0)
     pts = jnp.asarray(
         np.stack(
             [
-                rng.uniform(30, width - 30, n_points),
-                rng.uniform(30, height - 30, n_points),
+                rng.uniform(40, width - 40, n_points),
+                rng.uniform(40, height - 40, n_points),
             ],
             axis=1,
         ).astype(np.float32)
@@ -134,10 +187,20 @@ def bench_lk(n_points: int, height: int, width: int, iters: int = 20):
     w0, wstat = quad(pts)
     wstat_np = np.asarray(wstat)
     survivors = int(wstat_np.sum())
-    assert survivors >= int(0.9 * n_points), (
+    assert survivors >= int(0.85 * n_points), (
         f"bench_lk: only {survivors}/{n_points} tracks survived the circle")
     closure = float(np.max(np.abs(np.asarray(w0) - np.asarray(pts))[wstat_np]))
     assert closure < 1.0, f"bench_lk: round-trip closure {closure:.2f} px"
+
+    if on_tpu:
+        # One-leg Mosaic-vs-XLA smoke parity on this same real content.
+        pp, ps = lk_track_pyramid(a, b, pts, valid, params)
+        xp, xs = lk_xla(a, b, pts, valid, params)
+        agree = np.asarray(ps) & np.asarray(xs)
+        assert agree.mean() > 0.8, "pallas/xla status agreement collapsed"
+        dmax = float(np.abs(np.asarray(pp) - np.asarray(xp))[agree].max())
+        assert dmax < 0.05, f"pallas/xla on-chip divergence {dmax:.4f} px"
+
     t0 = time.perf_counter()
     for _ in range(iters):
         p4, s4 = quad(pts)
@@ -153,20 +216,36 @@ def main():
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--height", type=int, default=376)
     ap.add_argument("--width", type=int, default=1241)
+    ap.add_argument("--courses", default="straight,turning,stress",
+                    help="comma-separated gauntlet courses to run")
     args = ap.parse_args()
 
     num_frames = args.frames or (65 if args.quick else 161)
+    courses = [c for c in args.courses.split(",") if c]
 
     t0 = time.time()
-    fps, extras = bench_pipeline(num_frames, args.height, args.width,
-                                 reps=1 if args.quick else 2)
-    lk_pairs, lk_survivors = bench_lk(512, args.height, args.width,
-                                      iters=5 if args.quick else 20)
+    fps = 0.0
+    per_course = {}
+    for i, name in enumerate(courses):
+        reps = (2 if not args.quick else 1) if i == 0 else 1
+        c_fps, metrics = bench_course(name, num_frames, args.height,
+                                      args.width, reps=reps)
+        per_course[name] = metrics
+        if i == 0:
+            fps = c_fps  # headline = first (straight) course
 
+    frames0, _, _ = render_course(courses[0], num_frames, args.height,
+                                  args.width)
+    lk_pairs, lk_survivors = bench_lk(512, args.height, args.width,
+                                      iters=5 if args.quick else 20,
+                                      frames=frames0)
+
+    accuracy_ok = all(m["ok"] for m in per_course.values())
     # vs_baseline is the headline: FPS against the reference's 80 FPS target,
-    # but ZERO when the trajectory is broken — a fast wrong answer scores
+    # but ZERO when ANY gauntlet course breaks — a fast wrong answer scores
     # nothing (BASELINE.md's first target is accuracy).
-    vs = fps / 80.0 if extras.get("accuracy_ok") else 0.0
+    vs = fps / 80.0 if accuracy_ok else 0.0
+    head = per_course.get(courses[0], {})
     result = {
         "metric": "vo_fps_per_chip",
         "value": round(fps, 2),
@@ -177,7 +256,10 @@ def main():
         "image": f"{args.width}x{args.height}",
         "frames": num_frames,
         "bench_wall_s": round(time.time() - t0, 1),
-        **extras,
+        "accuracy_ok": accuracy_ok,
+        "accept_ratio": head.get("accept_ratio"),
+        "ate_rmse_m": head.get("ate_rmse_m"),
+        "courses": per_course,
     }
     print(json.dumps(result))
 

@@ -115,22 +115,57 @@ class SyntheticStereoSequence:
         seed: int = 0,
         speed: float = 0.8,
         yaw_rate: float = 0.004,
+        course: str = "straight",
+        photometric: bool = False,
+        noise_sigma: float = 0.0,
+        occluders: bool = False,
+        lowtex_span: tuple[float, float] | None = None,
     ):
+        """Args beyond the round-2 surface (all default OFF — the gentle
+        straight corridor is unchanged):
+
+        course: "straight" (gentle wander, the round-2 course) or "turning"
+          (KITTI-style 90-degree intersections whose peak per-frame yaw
+          approaches the reference's 0.1 rad rejection gate,
+          reference src/main.cpp:201-208 — VERDICT.md round-2 missing #1).
+        photometric: per-frame exposure drift (+-12% gain, +-8 DN bias over
+          ~40-frame periods), a 2% left/right gain mismatch, and a static
+          25% corner vignette — violations of LK's brightness-constancy
+          assumption in the shapes real sensors produce.
+        noise_sigma: additive Gaussian sensor noise (DN), fresh per frame.
+        occluders: textured pillars beside the path that sweep across the
+          image during passage, occluding and disoccluding the corridor.
+        lowtex_span: (lo, hi) arc-length interval (m) where wall texture
+          contrast collapses to 18% — a feature-starvation stretch.
+        """
         self.K = intrinsics
         self.num_frames = num_frames
         self.speed = speed
+        self.photometric = photometric
+        self.noise_sigma = noise_sigma
+        self._seed = seed
         rng = np.random.default_rng(seed)
 
-        # Ground-truth trajectory: forward along +z with gentle yaw.
+        # Ground-truth trajectory: forward along +z.
         # Extrapolate past the course end so the corridor keeps going.
         extra = int(np.ceil(self.OVERRUN / max(speed, 1e-6)))
-        all_poses = np.zeros((num_frames + extra, 4, 4))
+        n_all = num_frames + extra
+        all_poses = np.zeros((n_all, 4, 4))
         T = np.eye(4)
-        for i in range(num_frames + extra):
+        for i in range(n_all):
             all_poses[i] = T
-            yaw = yaw_rate * (1.0 + 0.3 * np.sin(i * 0.21))
-            c, s = np.cos(yaw), np.sin(yaw)
-            R_step = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+            if course == "turning":
+                yaw = self._turning_yaw_rate(i, num_frames)
+                pitch = 0.0025 * np.sin(i * 0.37)   # road vibration
+            else:
+                yaw = yaw_rate * (1.0 + 0.3 * np.sin(i * 0.21))
+                pitch = 0.0
+            cy_, sy_ = np.cos(yaw), np.sin(yaw)
+            R_step = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
+            if pitch != 0.0:
+                cp, sp = np.cos(pitch), np.sin(pitch)
+                R_pitch = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+                R_step = R_step @ R_pitch
             step = np.eye(4)
             step[:3, :3] = R_step
             step[:3, 3] = [0.02 * np.sin(i * 0.13), 0.0, speed]
@@ -144,6 +179,21 @@ class SyntheticStereoSequence:
         ground_tex = _smooth_noise(768, 768, rng)
         wall_texs = [_smooth_noise(640, 640, rng) for _ in range(4)]
         backdrop_tex = _smooth_noise(768, 768, rng)
+        # Low-texture variants: contrast collapsed to 18% around mid-gray —
+        # local gradients drop below the FAST threshold over most of the
+        # wall, starving the detector through the lowtex_span stretch.
+        lowtex_walls = [128.0 + 0.18 * (t - 128.0) for t in wall_texs]
+
+        # Static 25% corner vignette (photometric mode): radial gain
+        # applied to both cameras.
+        H, W = intrinsics.height, intrinsics.width
+        if H and W:
+            vy = (np.arange(H) - H / 2.0) / (H / 2.0)
+            vx = (np.arange(W) - W / 2.0) / (W / 2.0)
+            r2 = vy[:, None] ** 2 + vx[None, :] ** 2
+            self._vignette = 1.0 - 0.25 * (r2 / 2.0)
+        else:
+            self._vignette = None
 
         self.planes = [
             _Plane(  # ground: y = +1.6 (camera ~1.6 m above ground)
@@ -157,15 +207,17 @@ class SyntheticStereoSequence:
         # aligned with the local heading, on both sides.
         k = max(1, int(round(self.SEG_SPACING / max(speed, 1e-6))))
         seg_len = k * speed + 4.0
-        n_all = num_frames + extra
         for j, i in enumerate(range(0, n_all, k)):
             P = all_poses[min(i, n_all - 1)]
             pos = P[:3, 3]
             h = P[:3, 2] / np.linalg.norm(P[:3, 2])   # heading
             r = P[:3, 0] / np.linalg.norm(P[:3, 0])   # right
             s_arc = i * speed
-            for side, tex in ((-1.0, wall_texs[j % 4]),
-                              (1.0, wall_texs[(j + 2) % 4])):
+            in_lowtex = (lowtex_span is not None
+                         and lowtex_span[0] <= s_arc < lowtex_span[1])
+            texs = lowtex_walls if in_lowtex else wall_texs
+            for side, tex in ((-1.0, texs[j % 4]),
+                              (1.0, texs[(j + 2) % 4])):
                 p0 = pos + side * self.WALL_OFFSET * r - 2.0 * h
                 p0 = p0 + np.array([0.0, -9.0, 0.0])  # top 9 m above camera
                 self.planes.append(_Plane(
@@ -173,6 +225,28 @@ class SyntheticStereoSequence:
                     extent1=seg_len, extent2=10.6,     # down to ground level
                     texture=tex, tex_scale=14.0 * ts,
                     path_s=(s_arc - 4.0, s_arc + seg_len),
+                ))
+
+        # Occluding pillars: textured verticals 3.5 m beside the path every
+        # ~22 m, alternating sides. Approaching, they occlude corridor
+        # texture; during passage they sweep across the image with large
+        # parallax, killing their tracks (the closure check must catch the
+        # resulting drag-along failures).
+        if occluders:
+            pk = max(1, int(round(22.0 / max(speed, 1e-6))))
+            for j, i in enumerate(range(pk, n_all, pk)):
+                P = all_poses[min(i, n_all - 1)]
+                pos = P[:3, 3]
+                r = P[:3, 0] / np.linalg.norm(P[:3, 0])
+                side = -1.0 if j % 2 == 0 else 1.0
+                s_arc = i * speed
+                p0 = (pos + side * 3.5 * r
+                      + np.array([0.0, -6.4, 0.0]))   # top 6.4 m above cam
+                self.planes.append(_Plane(
+                    p0=p0, e1=side * r, e2=[0, 1, 0],
+                    extent1=2.2, extent2=8.0,          # down to ground
+                    texture=wall_texs[j % 4], tex_scale=3.0 * ts,
+                    path_s=(s_arc - 1.0, s_arc + 1.0),
                 ))
 
         # Far backdrop: perpendicular wall past the course end.
@@ -187,6 +261,43 @@ class SyntheticStereoSequence:
             extent1=360.0, extent2=51.6,
             texture=backdrop_tex, tex_scale=40.0 * ts,
         ))
+
+    @staticmethod
+    def _turning_yaw_rate(i: int, n: int) -> float:
+        """Per-frame yaw (rad) for the "turning" course: two KITTI-style
+        intersection turns, sin^2-ramped, scaled to the course length.
+
+        Episode 1 (frames 0.27n..0.55n): +90 degrees total, peak 0.070
+        rad/frame. Episode 2 (0.62n..0.80n): about -68 degrees, peak 0.082
+        rad/frame — deliberately approaching (but staying under) the
+        reference's 0.1 rad per-frame rejection gate
+        (src/main.cpp:201-208)."""
+        base = 0.004 * (1.0 + 0.3 * np.sin(i * 0.21))
+        for lo, hi, peak in ((0.27, 0.55, 0.070), (0.62, 0.80, -0.082)):
+            a, b = lo * n, hi * n
+            if a <= i < b:
+                t = (i - a) / (b - a)
+                return base + peak * np.sin(np.pi * t) ** 2
+        return base
+
+    def _apply_photometric(self, img: np.ndarray, i: int,
+                           right: bool) -> np.ndarray:
+        """Exposure drift + L/R gain mismatch + vignette + sensor noise,
+        applied to the clean render (float in, float out)."""
+        out = img.astype(np.float64)
+        if self.photometric:
+            gain = 1.0 + 0.12 * np.sin(2.0 * np.pi * i / 43.0)
+            bias = 8.0 * np.sin(2.0 * np.pi * i / 31.0 + 1.0)
+            if right:
+                gain *= 1.02
+            out = out * gain + bias
+            if self._vignette is not None:
+                out = out * self._vignette
+        if self.noise_sigma > 0.0:
+            nrng = np.random.default_rng(
+                (self._seed * 1_000_003 + i * 2 + int(right)) & 0x7FFFFFFF)
+            out = out + nrng.normal(0.0, self.noise_sigma, out.shape)
+        return out
 
     def _visible_planes(self, frame_idx: int):
         """Cull corridor segments far behind/ahead of the camera (render-time
@@ -273,8 +384,14 @@ class SyntheticStereoSequence:
 
     def frame(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         T = self.poses[i]
-        return (self._render(T, right=False, frame_idx=i),
-                self._render(T, right=True, frame_idx=i))
+        left = self._render(T, right=False, frame_idx=i)
+        right = self._render(T, right=True, frame_idx=i)
+        if self.photometric or self.noise_sigma > 0.0:
+            left = np.clip(self._apply_photometric(left, i, False),
+                           0, 255).astype(np.uint8)
+            right = np.clip(self._apply_photometric(right, i, True),
+                            0, 255).astype(np.uint8)
+        return left, right
 
     def __len__(self):
         return self.num_frames
@@ -282,3 +399,36 @@ class SyntheticStereoSequence:
     def __iter__(self):
         for i in range(self.num_frames):
             yield self.frame(i)
+
+
+#: Gauntlet course registry (VERDICT.md round-2 missing #1): the bench and
+#: e2e tests gate accuracy on MULTIPLE courses, not just the gentle straight
+#: corridor the tracker was tuned on.
+COURSES = ("straight", "turning", "stress")
+
+
+def make_course(name: str, intrinsics: CameraIntrinsics, num_frames: int,
+                seed: int = 0, speed: float = 0.8) -> SyntheticStereoSequence:
+    """Named adversarial courses for the accuracy gauntlet.
+
+    - "straight": the round-2 gentle corridor (baseline).
+    - "turning": two near-gate 90-degree intersection turns + road pitch
+      vibration (geometry stress only).
+    - "stress": the turning geometry PLUS exposure drift, L/R gain
+      mismatch, vignette, sensor noise, occluding pillars, and a
+      low-texture stretch over the middle third of the course.
+    """
+    if name == "straight":
+        return SyntheticStereoSequence(
+            intrinsics, num_frames=num_frames, seed=seed, speed=speed)
+    if name == "turning":
+        return SyntheticStereoSequence(
+            intrinsics, num_frames=num_frames, seed=seed, speed=speed,
+            course="turning")
+    if name == "stress":
+        total = num_frames * speed
+        return SyntheticStereoSequence(
+            intrinsics, num_frames=num_frames, seed=seed, speed=speed,
+            course="turning", photometric=True, noise_sigma=2.0,
+            occluders=True, lowtex_span=(0.40 * total, 0.55 * total))
+    raise ValueError(f"unknown course {name!r}; one of {COURSES}")

@@ -98,7 +98,12 @@ def _cmd_run(args) -> int:
         cam = V4L2StereoCamera()
         frames = iter(lambda: cam.get_lr_frames(), None)
         gt = None
-        h, w = 480, 640
+        # Frame dims come from the calibration file (the reference reads
+        # rgbd.yaml's Camera.width/height keys nowhere and hard-codes
+        # 640x480, src/rgbd_standalone.cpp:74-76; here the YAML is
+        # authoritative, falling back to the reference's constants).
+        h = intr.height or 480
+        w = intr.width or 640
     else:
         from visual_odom_tpu.io.kitti import KittiSequence, load_poses
 

@@ -386,6 +386,30 @@ def init_vo_state(config: VOConfig, intrinsics: CameraIntrinsics,
     return _init(jnp.asarray(left0), jnp.asarray(right0), seed)
 
 
+def _frame_chunks(it, chunk: int):
+    """Yield (lefts (chunk, H, W), rights (chunk, H, W), n_real) numpy
+    stacks from an iterator of (left, right) frames, padding the tail chunk
+    by repeating its last frame. Holds at most one chunk of decoded frames."""
+    done = False
+    while not done:
+        lefts, rights = [], []
+        for _ in range(chunk):
+            try:
+                l, r = next(it)
+            except StopIteration:
+                done = True
+                break
+            lefts.append(np.asarray(l))
+            rights.append(np.asarray(r))
+        if not lefts:
+            return
+        n_real = len(lefts)
+        while len(lefts) < chunk:
+            lefts.append(lefts[-1])
+            rights.append(rights[-1])
+        yield np.stack(lefts), np.stack(rights), n_real
+
+
 def run_sequence_scan(
     frames,
     config: VOConfig,
@@ -396,49 +420,71 @@ def run_sequence_scan(
 ):
     """Chunked-scan sequence runner — the throughput front door.
 
+    STREAMS: ``frames`` may be any iterable (list, generator, prefetched
+    KITTI stream); host memory holds at most two decoded chunks at a time
+    (VERDICT.md round-2 missing #4 — full KITTI 00 is ~4 GB decoded and
+    must never materialize). The loop is software-pipelined: dispatching
+    chunk k's scan is async, so chunk k+1's upload and chunk k+2's decode
+    run on the host while the device computes — steady-state throughput is
+    identical to the round-2 preloaded version when decode keeps up
+    (reference equivalent: the per-frame imread loop at src/main.cpp:123,
+    src/utils.cpp:172-190).
+
     Returns (poses (N+1, 4, 4) f64, fetched StepOutput stack as numpy,
-    wall_seconds) where wall_seconds covers the steady-state device pipeline
-    (compile + first-execution program load excluded when ``warmup``).
+    wall_seconds, frames_processed) where wall_seconds covers the
+    steady-state device pipeline (compile + first-execution program load
+    excluded when ``warmup``; the tail chunk repeats its last frame, so
+    frames_processed — the throughput denominator — is a chunk multiple).
     """
-    frames = list(frames)
-    n = len(frames) - 1
+    it = iter(frames)
+    try:
+        frame0 = next(it)
+    except StopIteration:
+        raise ValueError("run_sequence_scan needs at least one frame")
     scan = make_scan_step_fn(config, intrinsics, chunk)
 
-    lefts = np.stack([np.asarray(l) for l, _ in frames[1:]])
-    rights = np.stack([np.asarray(r) for _, r in frames[1:]])
-    pad_to = -(-n // chunk) * chunk
-    if pad_to != n:
-        lefts = np.concatenate([lefts, np.repeat(lefts[-1:], pad_to - n, 0)])
-        rights = np.concatenate([rights, np.repeat(rights[-1:], pad_to - n, 0)])
+    chunks = _frame_chunks(it, chunk)
+    first = next(chunks, None)
+    if first is None:
+        return (np.eye(4)[None].astype(np.float64), None, 0.0, 0)
 
-    dev_l = [jax.device_put(lefts[i:i + chunk]) for i in range(0, pad_to, chunk)]
-    dev_r = [jax.device_put(rights[i:i + chunk]) for i in range(0, pad_to, chunk)]
-
-    state = init_vo_state(config, intrinsics, frames[0][0], frames[0][1], seed)
+    state = init_vo_state(config, intrinsics, frame0[0], frame0[1], seed)
+    dl0 = jax.device_put(first[0])
+    dr0 = jax.device_put(first[1])
 
     if warmup:
         # Compile + load the program with a throwaway state; real state is
         # rebuilt after (init is cheap, the scan program is the expensive
-        # bit). Donation means dev_l[0] is NOT donated (only state is).
-        wstate = init_vo_state(config, intrinsics, frames[0][0], frames[0][1],
+        # bit). Donation means dl0 is NOT donated (only state is).
+        wstate = init_vo_state(config, intrinsics, frame0[0], frame0[1],
                                seed)
-        wstate, wout = scan(wstate, dev_l[0], dev_r[0])
+        wstate, wout = scan(wstate, dl0, dr0)
         jax.tree.map(np.asarray, wout)  # full sync incl. program load
 
     t0 = time.perf_counter()
     outs = []
-    for dl, dr in zip(dev_l, dev_r):
-        state, out = scan(state, dl, dr)
+    n = 0
+    cur = (dl0, dr0, first[2])
+    nxt = next(chunks, None)  # decoded before the first dispatch
+    while cur is not None:
+        dl, dr, n_real = cur
+        state, out = scan(state, dl, dr)   # async dispatch
         outs.append(out)
+        n += n_real
+        if nxt is not None:
+            # Upload the next chunk and decode the one after while the
+            # device crunches the current chunk (double buffering).
+            cur = (jax.device_put(nxt[0]), jax.device_put(nxt[1]), nxt[2])
+            nxt = next(chunks, None)
+        else:
+            cur = None
     final = jax.tree.map(np.asarray, outs[-1])  # sync
     wall = time.perf_counter() - t0
 
     fetched_list = [jax.tree.map(np.asarray, o) for o in outs[:-1]] + [final]
     fetched = jax.tree.map(lambda *xs: np.concatenate(xs)[:n], *fetched_list)
     poses = chain_poses_host(fetched.T_inv, fetched.accept)
-    # pad_to = frames the device actually processed (the tail chunk repeats
-    # the last frame); throughput accounting should divide by this.
-    return poses, fetched, wall, pad_to
+    return poses, fetched, wall, len(outs) * chunk
 
 
 def _make_raw_step(config: VOConfig, intrinsics: CameraIntrinsics):
