@@ -36,6 +36,18 @@ import numpy as np
 _COURSE_CACHE = os.environ.get("VO_COURSE_CACHE", "/tmp/vo_course_cache")
 
 
+def enable_compile_cache():
+    """Persist XLA/Mosaic executables across bench processes. Compiles over
+    the axon tunnel can take minutes when the link is congested; the cache
+    (keyed by HLO hash, so always safe) makes re-runs start in seconds."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("VO_JAX_CACHE", "/tmp/vo_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def _kitti_intrinsics(height: int, width: int):
     from visual_odom_tpu.config import CameraIntrinsics
 
@@ -235,6 +247,7 @@ def main():
                     help="comma-separated gauntlet courses to run")
     args = ap.parse_args()
 
+    enable_compile_cache()
     num_frames = args.frames or (65 if args.quick else 161)
     courses = [c for c in args.courses.split(",") if c]
 

@@ -1,0 +1,221 @@
+"""Fused-pipeline stage split + LK-kernel roofline on the real chip.
+
+VERDICT.md round-2 missing #2: the round-2 stage times were ISOLATED
+dispatches, each paying ~ms of axon-tunnel latency the fused pipeline
+amortizes, so they said nothing about the compiled program's true split.
+This script measures the split differentially: it compiles a family of
+scan programs that run progressively larger PREFIXES of the per-frame step
+(each a real fused XLA program over a 32-frame chunk) and differences
+their steady-state times:
+
+    pyramids -> +detect/bucket -> +LK quad -> +triangulate+PnP+gate (full)
+
+The carry/state of every prefix program is shaped identically (unused
+stage outputs replaced by zeros), so XLA dead-code-eliminates exactly the
+suffix stages and nothing else.
+
+It also derives the LK quad's analytic work terms (VMEM traffic, VPU
+flops, critical-path iterations) and compares the measured per-feature
+time to the VPU/VMEM speed-of-light -> PERF_NOTES.md roofline section.
+
+Run on the TPU:  python scripts/roofline_tpu.py [--frames 64]
+"""
+
+import argparse
+import json
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def make_prefix_scan(config, intrinsics, stage: str, chunk: int):
+    """A scan program running the step prefix up to ``stage``:
+    'pyr' | 'detect' | 'lk' | 'full'. State/carry structure matches the
+    real pipeline's VOState so program shapes are comparable."""
+    import jax
+    import jax.numpy as jnp
+
+    from visual_odom_tpu.backend.integrate import gate_and_integrate
+    from visual_odom_tpu.backend.pnp import pnp_ransac
+    from visual_odom_tpu.core.triangulate import triangulate_points
+    from visual_odom_tpu.frontend.bucketing import detect_and_bucket
+    from visual_odom_tpu.frontend.matching import (
+        circular_match,
+        commit_tracked_state,
+    )
+    from visual_odom_tpu.runner.pipeline import StepOutput, VOState, prep_image
+    from visual_odom_tpu.runner.pipeline import _lk_params
+
+    P_l = intrinsics.proj_left()
+    P_r = intrinsics.proj_right()
+    K = intrinsics.intrinsic_matrix()
+    params = _lk_params(config)
+    lk_backend = config.resolved_lk_backend()
+
+    def step(state, left_t1, right_t1):
+        lk_l1 = prep_image(left_t1, config)
+        lk_r1 = prep_image(right_t1, config)
+        feats = state.features
+        zero_out = StepOutput(
+            T_inv=jnp.eye(4, dtype=jnp.float32),
+            accept=jnp.bool_(False), scale=jnp.float32(0),
+            euler=jnp.zeros(3, jnp.float32), rvec=jnp.zeros(3, jnp.float32),
+            tvec=jnp.zeros(3, jnp.float32), num_inliers=jnp.int32(0),
+            num_matched=jnp.int32(0), num_bucketed=jnp.int32(0),
+        )
+        if stage != "pyr":
+            pad = state.lk_l0.pad
+            h, w = state.lk_l0.shapes[0]
+            raw_l0 = jax.lax.dynamic_slice(
+                state.lk_l0.pyramid[0], (pad, pad), (h, w))
+            bucketed = detect_and_bucket(raw_l0, state.features, config)
+            feats = bucketed
+            zero_out = zero_out._replace(
+                num_bucketed=jnp.sum(bucketed.valid).astype(jnp.int32))
+        if stage in ("lk", "full"):
+            match = circular_match(
+                state.lk_l0, state.lk_r0, lk_l1, lk_r1, bucketed,
+                params, config.circle_threshold, lk_backend,
+                seeding=config.predictive_seeding)
+            feats = commit_tracked_state(match)
+            zero_out = zero_out._replace(
+                num_matched=jnp.sum(match.valid).astype(jnp.int32))
+        out = zero_out
+        key = state.key
+        if stage == "full":
+            pts3d = triangulate_points(P_l, P_r, match.points_l0,
+                                       match.points_r0)
+            safe = jnp.array([0.0, 0.0, 10.0], jnp.float32)
+            pts3d = jnp.where(match.valid[:, None], pts3d, safe)
+            key, sub = jax.random.split(state.key)
+            pnp = pnp_ransac(
+                pts3d, match.points_l1, match.valid, K,
+                rvec0=jnp.zeros(3, jnp.float32), tvec0=state.tvec, key=sub,
+                iterations=config.ransac_iterations,
+                reproj_threshold=config.ransac_reproj_threshold,
+                sample_size=config.ransac_sample_size,
+                refine_iters=config.pnp_refine_iters)
+            gate = gate_and_integrate(pnp.rvec, pnp.tvec)
+            out = StepOutput(
+                T_inv=gate.T_inv, accept=gate.accept, scale=gate.scale,
+                euler=gate.euler, rvec=pnp.rvec, tvec=pnp.tvec,
+                num_inliers=pnp.num_inliers,
+                num_matched=zero_out.num_matched,
+                num_bucketed=zero_out.num_bucketed)
+        new_state = VOState(features=feats, lk_l0=lk_l1, lk_r0=lk_r1,
+                            tvec=out.tvec, key=key)
+        return new_state, out
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def scan_chunk(state, lefts, rights):
+        def body(s, lr):
+            return step(s, lr[0], lr[1])
+
+        return jax.lax.scan(body, state, (lefts, rights))
+
+    return scan_chunk
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--height", type=int, default=376)
+    ap.add_argument("--width", type=int, default=1241)
+    ap.add_argument("--out", default="ROOFLINE_r03.json")
+    args = ap.parse_args()
+
+    import jax
+
+    from bench import render_course
+    from visual_odom_tpu.config import VOConfig
+    from visual_odom_tpu.runner.pipeline import init_vo_state
+
+    frames, gt, intr = render_course("straight", args.frames + 1,
+                                     args.height, args.width)
+    cfg = VOConfig.for_image(args.height, args.width)
+    lefts = np.stack([f[0] for f in frames[1:]])
+    rights = np.stack([f[1] for f in frames[1:]])
+    n_chunks = len(lefts) // args.chunk
+
+    stage_ms = {}
+    for stage in ("pyr", "detect", "lk", "full"):
+        scan = make_prefix_scan(cfg, intr, stage, args.chunk)
+        state = init_vo_state(cfg, intr, frames[0][0], frames[0][1])
+        dl = [jax.device_put(lefts[i * args.chunk:(i + 1) * args.chunk])
+              for i in range(n_chunks)]
+        dr = [jax.device_put(rights[i * args.chunk:(i + 1) * args.chunk])
+              for i in range(n_chunks)]
+        # Warm-up chunk compiles + loads the program.
+        wstate = init_vo_state(cfg, intr, frames[0][0], frames[0][1])
+        wstate, wout = scan(wstate, dl[0], dr[0])
+        jax.tree.map(np.asarray, wout)
+        t0 = time.perf_counter()
+        outs = []
+        for l, r in zip(dl, dr):
+            state, out = scan(state, l, r)
+            outs.append(out)
+        jax.tree.map(np.asarray, outs[-1])
+        wall = time.perf_counter() - t0
+        per_frame = wall / (n_chunks * args.chunk) * 1000.0
+        stage_ms[stage] = per_frame
+        print(f"{stage:7s} {per_frame:7.2f} ms/frame", flush=True)
+
+    split = {
+        "pyramids_ms": stage_ms["pyr"],
+        "detect_bucket_ms": stage_ms["detect"] - stage_ms["pyr"],
+        "lk_quad_ms": stage_ms["lk"] - stage_ms["detect"],
+        "tri_pnp_gate_ms": stage_ms["full"] - stage_ms["lk"],
+        "full_ms": stage_ms["full"],
+    }
+    print(json.dumps({k: round(v, 2) for k, v in split.items()}))
+
+    # ---- analytic LK-quad speed-of-light --------------------------------
+    # Per feature, per level, per solver iteration (lk_pallas._legs_kernel):
+    #   J superblock load 32x256 f32            = 131072 B VMEM traffic
+    #   2 rolls + bilinear (4 mul+3 add on 22^2) + diff + 2 dots (21^2)
+    #   ~= 22*22*7 + 2*21*21*2 + ... ~= 5.3 kFLOP (VPU)
+    # Template setup per level: 1 superblock + Scharr over 24x23 ~ 12 kFLOP.
+    # Mean solver iterations measured ~6 with motion priors; 4 levels,
+    # 4 legs (2 kernels x 2 legs).
+    n_feat = 384
+    iters_mean = 6.0
+    levels = 4
+    legs = 4
+    bytes_per_iter = 32 * 256 * 4
+    flops_per_iter = 5300.0
+    setup_flops = 12000.0
+    total_bytes = n_feat * legs * levels * (iters_mean + 1) * bytes_per_iter
+    total_flops = n_feat * legs * levels * (
+        iters_mean * flops_per_iter + setup_flops)
+    quad_s = split["lk_quad_ms"] / 1000.0
+    VMEM_BW = 2.0e12   # ~2 TB/s usable VMEM load bandwidth per v5e core
+    VPU_PEAK = 3.9e12  # 8x128 lanes x 4 ALUs x ~0.94 GHz, f32
+    roofline = {
+        "lk_quad_measured_ms": round(split["lk_quad_ms"], 3),
+        "vmem_traffic_mb": round(total_bytes / 1e6, 1),
+        "vpu_flops_g": round(total_flops / 1e9, 2),
+        "vmem_bound_ms": round(total_bytes / VMEM_BW * 1000, 3),
+        "vpu_bound_ms": round(total_flops / VPU_PEAK * 1000, 4),
+        "pct_of_vmem_sol": round(
+            100 * (total_bytes / VMEM_BW) / quad_s, 1) if quad_s else None,
+        "assumptions": "384 feats, 4 legs, 4 levels, ~6 iters/level, "
+                       "32x256 f32 superblock reload per iter; "
+                       "VMEM ~2 TB/s, VPU ~3.9 Tf32op/s (v5e)",
+    }
+    print(json.dumps(roofline))
+    with open(args.out, "w") as f:
+        json.dump({"image": f"{args.width}x{args.height}",
+                   "chunk": args.chunk,
+                   "stage_split_ms": {k: round(v, 3)
+                                      for k, v in split.items()},
+                   "lk_roofline": roofline}, f, indent=2)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

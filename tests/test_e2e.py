@@ -158,3 +158,30 @@ def test_mono_rotation_mode_runs():
     poses, results = run_sequence(seq, cfg, intr)
     assert np.mean([r.accept for r in results]) >= 0.6
     assert ate_rmse(seq.poses[: len(poses)], poses) < 0.3
+
+
+@pytest.mark.parametrize("course", ["turning", "stress"])
+def test_gauntlet_courses_trackable(course):
+    """The adversarial gauntlet (VERDICT.md round-2 missing #1) at CI
+    scale: near-gate turns, photometric drift, occluders and a low-texture
+    stretch must not break tracking. The KITTI-size 1%-of-length accuracy
+    gate runs in the bench; here we assert healthy tracking statistics and
+    bounded drift at 120x160."""
+    from visual_odom_tpu.io.synthetic import make_course
+
+    intr = CameraIntrinsics(
+        fx=120.0, fy=120.0, cx=W / 2, cy=H / 2, bf=-120.0 * 0.54,
+        width=W, height=H,
+    )
+    cfg = VOConfig.for_image(H, W, ransac_iterations=200)
+    seq = make_course(course, intr, num_frames=45, speed=0.5)
+    poses, results = run_sequence(seq, cfg, intr)
+    accept = np.mean([r.accept for r in results])
+    assert accept >= 0.9, accept
+    gt = seq.poses[: len(poses)]
+    course_len = np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1))
+    assert ate_rmse(gt, poses) <= 0.03 * course_len
+    # The turning episodes really approach the gate: peak commanded yaw
+    # above half the 0.1 rad rejection threshold.
+    peak = max(abs(seq._turning_yaw_rate(i, len(seq))) for i in range(len(seq)))
+    assert peak > 0.05
