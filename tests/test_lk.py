@@ -110,3 +110,23 @@ def test_lk_masked_slots_passthrough():
     pts1, status = lk_track_pyramid(li, li, pts, valid, p)
     assert not bool(status[1])
     np.testing.assert_allclose(np.asarray(pts1)[1], [999.0, 999.0])
+
+
+def test_padded_pyr_down_matches_unpadded_path():
+    """The banded-matmul pyramid (padded_pyr_down) must reproduce
+    _pad_reflect(pyr_down(level)) — blur, decimation, reflect band and
+    alignment tail — to f32 matmul accuracy, for sizes exercising both
+    odd/even extents and the alignment rules."""
+    from visual_odom_tpu.ops.lk import _pad_reflect
+    from visual_odom_tpu.ops.pyramid import padded_pyr_down
+
+    rng = np.random.default_rng(3)
+    pad = 24
+    for h, w in [(96, 131), (37, 53), (376, 311)]:
+        img = rng.uniform(0, 255, (h, w)).astype(np.float32)
+        p = _pad_reflect(jnp.asarray(img), pad)
+        ref = _pad_reflect(pyr_down(jnp.asarray(img)), pad)
+        got = padded_pyr_down(p, h, w, pad)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-3)

@@ -35,7 +35,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from visual_odom_tpu.ops.pyramid import build_pyramid, scharr_derivatives
+from visual_odom_tpu.ops.pyramid import build_pyramid, padded_pyr_down, scharr_derivatives
 
 
 class LKParams(NamedTuple):
@@ -97,16 +97,24 @@ def prepare_lk_image(img: jnp.ndarray, params: LKParams = LKParams(),
     the VMEM per plane set). The XLA backend requires with_derivs=True.
     """
     pad = params.window + 3
-    pyr = build_pyramid(img.astype(jnp.float32), params.levels)
+    # Pyramid built level-to-level in the padded aligned layout via banded
+    # matmuls (ops/pyramid.padded_pyr_down): on TPU the unpadded levels'
+    # lane-unaligned layouts and the [::2] strided decimation cost ~2.75
+    # ms/image in Mosaic relayouts (ROOFLINE_r03.json); the composed band
+    # matrices keep every buffer (8,128)-aligned and ride the MXU instead.
     padded, ixs, iys, shapes = [], [], [], []
-    for level_img in pyr:
-        p = _pad_reflect(level_img, pad)
+    h, w = img.shape
+    p = _pad_reflect(img.astype(jnp.float32), pad)
+    for level in range(params.levels + 1):
         padded.append(p)
+        shapes.append((h, w))
         if with_derivs:
             ix, iy = scharr_derivatives(p)
             ixs.append(ix)
             iys.append(iy)
-        shapes.append(level_img.shape)
+        if level < params.levels:
+            p = padded_pyr_down(p, h, w, pad)
+            h, w = -(-h // 2), -(-w // 2)
     return LKImage(tuple(padded), tuple(ixs), tuple(iys), tuple(shapes), pad)
 
 

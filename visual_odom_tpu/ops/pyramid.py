@@ -20,6 +20,7 @@ multi-channel case); Pallas is reserved for the gather-heavy LK iterations.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -95,3 +96,79 @@ def build_pyramid_with_derivs(img: jnp.ndarray, levels: int):
     pyr = build_pyramid(img, levels)
     ixs, iys = zip(*(scharr_derivatives(p) for p in pyr))
     return tuple(pyr), tuple(ixs), tuple(iys)
+
+
+# ---------------------------------------------------------------------------
+# Banded-matrix pyramid: blur + decimate + re-pad as two aligned matmuls.
+#
+# ROOFLINE_r03.json measured the shifted-add pyramid at ~2.75 ms/image on a
+# v5e — ~1000x the arithmetic speed-of-light — because every intermediate
+# (unpadded 1241-wide levels, [::2] strided decimation) lives in a
+# lane-unaligned layout that Mosaic must relayout tile by tile.  pyrDown is
+# linear, so the whole level step (crop pad -> 5-tap REFLECT_101 Gaussian ->
+# even decimation -> reflect re-pad -> zero alignment tail) composes into ONE
+# static band matrix per axis:  padded_{k+1} = Mv @ padded_k @ Mh^T.  The
+# operands are (8,128)-aligned end to end and the matmuls ride the MXU
+# (~1.5 GFLOP/frame at KITTI size, microseconds), replacing the relayout
+# storm.  prepare_lk_image (ops/lk.py) is the consumer.
+# ---------------------------------------------------------------------------
+
+
+def _reflect101_index(j: int, n: int) -> int:
+    """Index folding for cv BORDER_REFLECT_101 (period 2n-2)."""
+    if n == 1:
+        return 0
+    period = 2 * (n - 1)
+    j = j % period
+    return j if j < n else period - j
+
+
+def _down_band_matrix(n_in: int) -> np.ndarray:
+    """(ceil(n_in/2), n_in): one pyrDown axis — REFLECT_101 5-tap Gaussian
+    blur + even decimation — as a band matrix."""
+    n_out = -(-n_in // 2)
+    M = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        for t in range(5):
+            M[i, _reflect101_index(2 * i + t - 2, n_in)] += float(_GAUSS5[t])
+    return M
+
+
+def _aligned_totals(n_logical: int, pad: int, axis: int) -> int:
+    """Padded-buffer extent along ``axis`` (0=rows, 1=lanes) matching
+    ops.lk._pad_reflect's alignment rule."""
+    npad = n_logical + 2 * pad
+    if axis == 0:
+        return -(-(npad + 10) // 8) * 8
+    return -(-(npad + 234) // 128) * 128
+
+
+@functools.lru_cache(maxsize=None)
+def _padded_down_matrix(n_in: int, pad: int, axis: int) -> np.ndarray:
+    """(out_tot, in_tot) operator: aligned padded level-k axis -> aligned
+    padded level-(k+1) axis.  Composes crop, blur+decimate, reflect re-pad
+    and the zero alignment tail."""
+    n_out = -(-n_in // 2)
+    in_tot = _aligned_totals(n_in, pad, axis)
+    out_tot = _aligned_totals(n_out, pad, axis)
+    D = _down_band_matrix(n_in)
+    M = np.zeros((out_tot, in_tot), np.float32)
+    for r in range(pad + n_out + pad):
+        j = _reflect101_index(r - pad, n_out)   # logical out row (reflect pad)
+        # D[j] samples logical level-k indices; shift by pad into the buffer.
+        M[r, pad : pad + n_in] = D[j]
+    return M
+
+
+def padded_pyr_down(p: jnp.ndarray, n_rows: int, n_cols: int,
+                    pad: int) -> jnp.ndarray:
+    """One pyramid level step directly in the padded aligned layout.
+
+    ``p``: (row_tot, col_tot) padded buffer for a (n_rows, n_cols) level.
+    Returns the padded buffer for the (ceil(n_rows/2), ceil(n_cols/2)) level,
+    bit-matching _pad_reflect(pyr_down(level), pad) to f32 matmul accuracy.
+    """
+    Mv = jnp.asarray(_padded_down_matrix(n_rows, pad, 0))
+    Mh = jnp.asarray(_padded_down_matrix(n_cols, pad, 1))
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(Mv, p, precision=hi), Mh.T, precision=hi)
