@@ -257,7 +257,7 @@ def main():
     ap.add_argument("--width", type=int, default=1241)
     ap.add_argument("--courses", default="straight,turning,stress",
                     help="comma-separated gauntlet courses to run")
-    ap.add_argument("--chunk", type=int, default=32,
+    ap.add_argument("--chunk", type=int, default=64,
                     help="scan chunk size (frames per device dispatch)")
     args = ap.parse_args()
 

@@ -56,8 +56,8 @@ def main():
         seqs = [courses[n] for n in batch_names]
         # Warm-up run compiles the batched program (excluded from timing
         # by re-running).
-        run_sequences_batched(seqs, cfg, intr, mesh)
-        poses_list, stats, wall = run_sequences_batched(seqs, cfg, intr, mesh)
+        run_sequences_batched(seqs, cfg, intr, mesh, chunk=16)
+        poses_list, stats, wall = run_sequences_batched(seqs, cfg, intr, mesh, chunk=16)
         total = sum(len(s) - 1 for s in seqs)
         per_seq = []
         all_ok = True

@@ -185,3 +185,39 @@ def test_gauntlet_courses_trackable(course):
     # above half the 0.1 rad rejection threshold.
     peak = max(abs(seq._turning_yaw_rate(i, len(seq))) for i in range(len(seq)))
     assert peak > 0.05
+
+
+def test_rotation_gate_rejects_spike_and_recovers():
+    """The "gatespike" course has a 3-frame 0.15 rad/frame yaw spike at
+    mid-course: the 0.1 rad gate (reference src/main.cpp:201-208) must
+    reject those frames (accept=False, pose integration skipped — exactly
+    the reference's behavior) while the frames before the spike and after
+    re-acquisition are accepted and tracked as healthily as ever."""
+    import numpy as np
+
+    from visual_odom_tpu.config import CameraIntrinsics, VOConfig
+    from visual_odom_tpu.io.synthetic import make_course
+    from visual_odom_tpu.runner.pipeline import run_sequence_scan
+
+    H, W = 120, 160
+    intr = CameraIntrinsics(fx=120.0, fy=120.0, cx=W / 2, cy=H / 2,
+                            bf=-120.0 * 0.54, width=W, height=H)
+    cfg = VOConfig.for_image(H, W, ransac_iterations=150)
+    n = 41
+    seq = make_course("gatespike", intr, num_frames=n, speed=0.5)
+    poses, fetched, _, _ = run_sequence_scan(list(seq), cfg, intr, chunk=8)
+    accept = np.asarray(fetched.accept)[: n - 1]
+    mid = n // 2
+    # Step output k is the transition frame k -> k+1; the renderer applies
+    # yaw(i) when stepping pose i -> i+1 with the spike at i in
+    # [mid, mid+3), so transitions mid, mid+1, mid+2 carry 0.15 rad.
+    spike_steps = {mid, mid + 1, mid + 2}
+    for s in sorted(spike_steps):
+        assert not accept[s], f"step {s} (0.15 rad yaw) must be rejected"
+    before = accept[:mid]
+    after = accept[mid + 5:]
+    assert before.mean() >= 0.95, before.mean()
+    assert after.mean() >= 0.9, after.mean()
+    # Tracking re-acquires: late matches as healthy as early ones.
+    nm = np.asarray(fetched.num_matched)[: n - 1]
+    assert nm[mid + 6:].mean() >= 0.6 * nm[: mid - 1].mean()

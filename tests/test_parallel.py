@@ -59,3 +59,29 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_batched_chunked_scan_matches_per_frame():
+    """run_sequences_batched(chunk=K) — one dispatch per K frames — must
+    produce the same trajectories and stats as the per-frame path."""
+    import numpy as np
+
+    from visual_odom_tpu.config import CameraIntrinsics, VOConfig
+    from visual_odom_tpu.io.synthetic import SyntheticStereoSequence
+    from visual_odom_tpu.parallel.batch_eval import run_sequences_batched
+    from visual_odom_tpu.parallel.mesh import make_mesh
+
+    H, W = 120, 160
+    intr = CameraIntrinsics(fx=120.0, fy=120.0, cx=W / 2, cy=H / 2,
+                            bf=-120.0 * 0.54, width=W, height=H)
+    cfg = VOConfig.for_image(H, W, ransac_iterations=100)
+    seqs = [list(SyntheticStereoSequence(intr, num_frames=11, seed=s,
+                                         speed=0.5)) for s in (0, 1)]
+    mesh = make_mesh({"data": 2, "model": 1})
+    poses_a, stats_a, _ = run_sequences_batched(seqs, cfg, intr, mesh)
+    poses_b, stats_b, _ = run_sequences_batched(seqs, cfg, intr, mesh,
+                                                chunk=4)
+    for pa, pb in zip(poses_a, poses_b):
+        np.testing.assert_allclose(pa, pb, atol=1e-5)
+    for sa, sb in zip(stats_a, stats_b):
+        assert sa["accept_ratio"] == sb["accept_ratio"]

@@ -157,6 +157,16 @@ class SyntheticStereoSequence:
             if course == "turning":
                 yaw = self._turning_yaw_rate(i, num_frames)
                 pitch = 0.0025 * np.sin(i * 0.37)   # road vibration
+            elif course == "gatespike":
+                # Straight corridor with a 3-frame yaw spike of 0.15
+                # rad/frame at mid-course — beyond the reference's 0.1 rad
+                # rejection gate (src/main.cpp:201-208). The CORRECT
+                # behavior is to reject exactly those frames (skip pose
+                # integration, keep tracking) and re-acquire afterwards.
+                mid = num_frames // 2
+                spike = mid <= i < mid + 3
+                yaw = 0.15 if spike else yaw_rate
+                pitch = 0.0
             else:
                 yaw = yaw_rate * (1.0 + 0.3 * np.sin(i * 0.21))
                 pitch = 0.0
@@ -404,7 +414,7 @@ class SyntheticStereoSequence:
 #: Gauntlet course registry (VERDICT.md round-2 missing #1): the bench and
 #: e2e tests gate accuracy on MULTIPLE courses, not just the gentle straight
 #: corridor the tracker was tuned on.
-COURSES = ("straight", "turning", "stress")
+COURSES = ("straight", "turning", "stress", "gatespike")
 
 
 def make_course(name: str, intrinsics: CameraIntrinsics, num_frames: int,
@@ -417,6 +427,11 @@ def make_course(name: str, intrinsics: CameraIntrinsics, num_frames: int,
     - "stress": the turning geometry PLUS exposure drift, L/R gain
       mismatch, vignette, sensor noise, occluding pillars, and a
       low-texture stretch over the middle third of the course.
+    - "gatespike": straight corridor with a 3-frame 0.15 rad/frame yaw
+      spike at mid-course — frames the 0.1 rad gate must REJECT
+      (reference src/main.cpp:201-208); exercises rejection + recovery,
+      not trajectory accuracy (the skipped motion is unrecoverable by
+      design, for the reference too).
     """
     if name == "straight":
         return SyntheticStereoSequence(
@@ -425,6 +440,10 @@ def make_course(name: str, intrinsics: CameraIntrinsics, num_frames: int,
         return SyntheticStereoSequence(
             intrinsics, num_frames=num_frames, seed=seed, speed=speed,
             course="turning")
+    if name == "gatespike":
+        return SyntheticStereoSequence(
+            intrinsics, num_frames=num_frames, seed=seed, speed=speed,
+            course="gatespike")
     if name == "stress":
         total = num_frames * speed
         return SyntheticStereoSequence(

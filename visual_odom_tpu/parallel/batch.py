@@ -38,10 +38,9 @@ def _constrain(x, spec: P):
     return jax.lax.with_sharding_constraint(x, spec)
 
 
-def make_batched_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
-                         mesh: Mesh):
-    """jitted (batched_state, left (B,H,W), right (B,H,W)) ->
-    (batched_state, batched StepOutput), sharded over the mesh."""
+def _make_sharded_step(config: VOConfig, intrinsics: CameraIntrinsics):
+    """Unjitted sharded batched step shared by the per-frame and the
+    chunked-scan front doors."""
     raw = _make_raw_step(config, intrinsics)
 
     def shard_state(state: VOState) -> VOState:
@@ -68,6 +67,14 @@ def make_batched_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
         new_state, out = jax.vmap(raw)(state, left, right)
         return shard_state(new_state), out
 
+    return step
+
+
+def make_batched_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
+                         mesh: Mesh):
+    """jitted (batched_state, left (B,H,W), right (B,H,W)) ->
+    (batched_state, batched StepOutput), sharded over the mesh."""
+    step = _make_sharded_step(config, intrinsics)
     jitted = jax.jit(step, donate_argnums=(0,))
 
     def call(state, left, right):
@@ -75,6 +82,29 @@ def make_batched_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
         # construction.
         with jax.sharding.set_mesh(mesh):
             return jitted(state, left, right)
+
+    return call
+
+
+def make_batched_scan_fn(config: VOConfig, intrinsics: CameraIntrinsics,
+                         mesh: Mesh, chunk: int):
+    """jitted (state, lefts (chunk,B,H,W), rights (chunk,B,H,W)) ->
+    (state, StepOutput stacked (chunk,B,...)) — the batched twin of the
+    single-sequence chunked scan (runner.run_sequence_scan): one device
+    dispatch per ``chunk`` frames instead of per frame, which removes the
+    dominant per-step dispatch latency from the DP front door."""
+    step = _make_sharded_step(config, intrinsics)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def scan_chunk(state, lefts, rights):
+        def body(s, lr):
+            return step(s, lr[0], lr[1])
+
+        return jax.lax.scan(body, state, (lefts, rights))
+
+    def call(state, lefts, rights):
+        with jax.sharding.set_mesh(mesh):
+            return scan_chunk(state, lefts, rights)
 
     return call
 

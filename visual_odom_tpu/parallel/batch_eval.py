@@ -46,9 +46,15 @@ def run_sequences_batched(
     intrinsics: CameraIntrinsics,
     mesh: Mesh,
     seed: int = 0,
+    chunk: int = 0,
 ):
     """Run B sequences in lockstep. Returns (list of (Ni+1, 4, 4) pose
-    arrays, per-sequence stats dicts, wall_seconds)."""
+    arrays, per-sequence stats dicts, wall_seconds).
+
+    ``chunk > 0`` scans ``chunk`` frames per device dispatch (the batched
+    twin of runner.run_sequence_scan): per-frame dispatch latency — the
+    dominant cost of the per-frame path on a remote-dispatch link — is paid
+    once per chunk, with chunk decode+upload on a background thread."""
     B = len(sequences)
     lengths = [len(s) for s in sequences]
     n_steps = max(lengths) - 1
@@ -59,6 +65,64 @@ def run_sequences_batched(
 
     lefts0, rights0 = stacked(0)
     state = batched_init_state(config, lefts0, rights0, mesh, seed=seed)
+
+    if chunk:
+        from visual_odom_tpu.parallel.batch import make_batched_scan_fn
+        import queue as _queue
+        import threading as _threading
+
+        scan = make_batched_scan_fn(config, intrinsics, mesh, chunk)
+        n_chunks = -(-n_steps // chunk)
+
+        def chunk_at(c):
+            # (chunk, B, H, W) stacks; tail repeats the final frame (its
+            # steps are masked out of shorter sequences' chains below).
+            fr = [stacked(min(1 + c * chunk + j, n_steps))
+                  for j in range(chunk)]
+            return (jax.device_put(np.stack([f[0] for f in fr])),
+                    jax.device_put(np.stack([f[1] for f in fr])))
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=2)
+        err: list = []
+
+        def uploader():
+            try:
+                for c in range(n_chunks):
+                    q.put(chunk_at(c))
+            except BaseException as e:
+                err.append(e)
+            finally:
+                q.put(None)
+
+        th = _threading.Thread(target=uploader, daemon=True)
+        th.start()
+        outs = []
+        t0 = time.perf_counter()
+        cur = q.get()
+        while cur is not None:
+            state, out = scan(state, cur[0], cur[1])
+            outs.append(out)
+            cur = q.get()
+        jax.block_until_ready(outs[-1].T_inv)
+        wall = time.perf_counter() - t0
+        th.join()
+        if err:
+            raise err[0]
+        T = np.concatenate([np.asarray(o.T_inv) for o in outs])[:n_steps]
+        A = np.concatenate([np.asarray(o.accept) for o in outs])[:n_steps]
+        I = np.concatenate([np.asarray(o.num_inliers)
+                            for o in outs])[:n_steps]
+        poses, stats = [], []
+        for b in range(B):
+            nb = lengths[b] - 1
+            poses.append(chain_poses_host(T[:nb, b], A[:nb, b]))
+            stats.append({
+                "frames": lengths[b],
+                "accept_ratio": float(A[:nb, b].mean()) if nb else 0.0,
+                "mean_inliers": float(I[:nb, b].mean()) if nb else 0.0,
+            })
+        return poses, stats, wall
+
     step = make_batched_step_fn(config, intrinsics, mesh)
 
     t_invs = []   # device arrays, fetched once at the end

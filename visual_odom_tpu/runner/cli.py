@@ -268,7 +268,8 @@ def _cmd_run_batch(args) -> int:
     h, w = seqs[0].frame(0)[0].shape
     cfg = VOConfig.for_image(h, w)
     mesh = data_model_mesh(data=args.data_parallel or None)
-    poses_list, stats, wall = run_sequences_batched(seqs, cfg, intr, mesh)
+    poses_list, stats, wall = run_sequences_batched(
+        seqs, cfg, intr, mesh, chunk=args.chunk)
     total_frames = sum(len(s) for s in seqs)
     print(f"{total_frames} frames / {len(seqs)} sequences in {wall:.1f}s "
           f"({total_frames / wall:.1f} frames/s aggregate)")
@@ -342,6 +343,8 @@ def main(argv=None) -> int:
     prb.add_argument("--data-parallel", type=int, default=0,
                      help="data-axis size (default: all devices)")
     prb.add_argument("--max-frames", type=int, default=0)
+    prb.add_argument("--chunk", type=int, default=16,
+                     help="frames per device dispatch (0 = step per frame)")
     prb.set_defaults(fn=_cmd_run_batch)
 
     pe = sub.add_parser("eval", help="KITTI devkit scoring")
