@@ -59,9 +59,8 @@ def main():
     def prep_base(img):
         f = img.astype(jnp.float32)
         pad = params.window + 3
-        Hp, Wp = H + 2 * pad, W + 2 * pad
-        H_tot = -(-(Hp + 10) // 8) * 8
-        W_tot = -(-(Wp + 234) // 128) * 128
+        H_tot = aligned_extent(H, pad, 0)
+        W_tot = aligned_extent(W, pad, 1)
         return (jnp.zeros((H_tot, W_tot), jnp.float32)
                 .at[pad:pad + H, pad:pad + W].set(f),)
 
@@ -76,14 +75,13 @@ def main():
 
         return scan
 
-    from visual_odom_tpu.ops.pyramid import build_pyramid
+    from visual_odom_tpu.ops.pyramid import aligned_extent, build_pyramid
 
     def prep_zero_pad(img):
         f = img.astype(jnp.float32)
         pad = params.window + 3
-        Hp, Wp = H + 2 * pad, W + 2 * pad
-        H_tot = -(-(Hp + 10) // 8) * 8
-        W_tot = -(-(Wp + 234) // 128) * 128
+        H_tot = aligned_extent(H, pad, 0)
+        W_tot = aligned_extent(W, pad, 1)
         return (jnp.pad(f, ((pad, H_tot - H - pad), (pad, W_tot - W - pad))),)
 
     def prep_reflect_pad(img):
@@ -98,9 +96,8 @@ def main():
         out = []
         for p in pyr:
             h, w = p.shape
-            Hp, Wp = h + 2 * pad, w + 2 * pad
-            H_tot = -(-(Hp + 10) // 8) * 8
-            W_tot = -(-(Wp + 234) // 128) * 128
+            H_tot = aligned_extent(h, pad, 0)
+            W_tot = aligned_extent(w, pad, 1)
             out.append(jnp.pad(p, ((pad, H_tot - h - pad),
                                    (pad, W_tot - w - pad))))
         return tuple(out)

@@ -113,8 +113,10 @@ def test_soak_streaming_1200_frames():
         ga = np.linalg.inv(gt[a]) @ gt[a:b]
         pa = np.linalg.inv(poses[a]) @ poses[a:b]
         t_errs.append(float(evaluate_sequence(ga, pa)["t_err_pct"]))
-    assert all(t <= 8.0 for t in t_errs), t_errs
-    assert t_errs[3] <= 1.5 * max(t_errs[0], 1.0), t_errs
+    # Ceiling set just above measured reality (2.9-4.3% at this resolution,
+    # ADVICE r3: 8.0 left ~2x headroom) so partial degradation still trips.
+    assert all(t <= 6.0 for t in t_errs), t_errs
+    assert t_errs[3] <= 1.3 * max(t_errs[0], 1.0), t_errs
     # No degradation: late-run tracking as healthy as early-run.
     early = np.mean(fetched.num_matched[:300])
     late = np.mean(fetched.num_matched[-300:])

@@ -124,10 +124,18 @@ class SyntheticStereoSequence:
         """Args beyond the round-2 surface (all default OFF — the gentle
         straight corridor is unchanged):
 
-        course: "straight" (gentle wander, the round-2 course) or "turning"
+        course: "straight" (gentle wander, the round-2 course), "turning"
           (KITTI-style 90-degree intersections whose peak per-frame yaw
           approaches the reference's 0.1 rad rejection gate,
-          reference src/main.cpp:201-208 — VERDICT.md round-2 missing #1).
+          reference src/main.cpp:201-208 — VERDICT.md round-2 missing #1),
+          "long" (a non-self-intersecting snake of exact alternating
+          90-degree turns between ~150 m straights — the >= 800 m endurance
+          course that populates every devkit segment-length bucket,
+          reference src/evaluate/evaluate_odometry.cpp:12-15), or "loop"
+          (a closed square circuit of four exact +90-degree turns that
+          returns to its start pose — the strongest self-check synthetic
+          ground truth allows; ``self.loop_frame`` is the frame index where
+          the ground-truth pose closes the loop).
         photometric: per-frame exposure drift (+-12% gain, +-8 DN bias over
           ~40-frame periods), a 2% left/right gain mismatch, and a static
           25% corner vignette — violations of LK's brightness-constancy
@@ -149,6 +157,12 @@ class SyntheticStereoSequence:
         # Ground-truth trajectory: forward along +z.
         # Extrapolate past the course end so the corridor keeps going.
         extra = int(np.ceil(self.OVERRUN / max(speed, 1e-6)))
+        if course == "loop":
+            # The corridor wraps around onto its own start; no overrun needed
+            # (and an overrun straight would drive walls through the loop's
+            # interior).
+            extra = 0
+            self.loop_frame = self._loop_schedule(num_frames)[2]
         n_all = num_frames + extra
         all_poses = np.zeros((n_all, 4, 4))
         T = np.eye(4)
@@ -157,6 +171,12 @@ class SyntheticStereoSequence:
             if course == "turning":
                 yaw = self._turning_yaw_rate(i, num_frames)
                 pitch = 0.0025 * np.sin(i * 0.37)   # road vibration
+            elif course == "long":
+                yaw = self._long_yaw_rate(i, num_frames)
+                pitch = 0.0025 * np.sin(i * 0.37)
+            elif course == "loop":
+                yaw = self._loop_yaw_rate(i, num_frames)
+                pitch = 0.0015 * np.sin(i * 0.37)
             elif course == "gatespike":
                 # Straight corridor with a 3-frame yaw spike of 0.15
                 # rad/frame at mid-course — beyond the reference's 0.1 rad
@@ -205,13 +225,27 @@ class SyntheticStereoSequence:
         else:
             self._vignette = None
 
-        self.planes = [
-            _Plane(  # ground: y = +1.6 (camera ~1.6 m above ground)
+        if course in ("long", "loop"):
+            # These paths range far beyond the fixed 520 m ground square the
+            # short courses use: size the ground plane from the actual path
+            # bounding box (+60 m margin) instead. The short courses keep
+            # the original fixed plane so their round-3-validated renders
+            # are bit-identical.
+            pos_all = all_poses[:, :3, 3]
+            lo = pos_all.min(axis=0) - 60.0
+            hi = pos_all.max(axis=0) + 60.0
+            ground = _Plane(
+                p0=[lo[0], 1.6, lo[2]], e1=[1, 0, 0], e2=[0, 0, 1],
+                extent1=hi[0] - lo[0], extent2=hi[2] - lo[2],
+                texture=ground_tex, tex_scale=18.0 * ts,
+            )
+        else:
+            ground = _Plane(  # ground: y = +1.6 (camera ~1.6 m above ground)
                 p0=[-250, 1.6, -80], e1=[1, 0, 0], e2=[0, 0, 1],
                 extent1=520, extent2=520,
                 texture=ground_tex, tex_scale=18.0 * ts,
-            ),
-        ]
+            )
+        self.planes = [ground]
 
         # Corridor walls: segments along the path every SEG_SPACING meters,
         # aligned with the local heading, on both sides.
@@ -259,7 +293,12 @@ class SyntheticStereoSequence:
                     path_s=(s_arc - 1.0, s_arc + 1.0),
                 ))
 
-        # Far backdrop: perpendicular wall past the course end.
+        # Far backdrop: perpendicular wall past the course end. A loop's end
+        # is its start — a backdrop there would stand 30 m in front of frame
+        # 0's camera, on the path; the wrapped corridor already fills the
+        # view, so the loop course has none.
+        if course == "loop":
+            return
         P_end = all_poses[-1]
         pos_e = P_end[:3, 3]
         h_e = P_end[:3, 2] / np.linalg.norm(P_end[:3, 2])
@@ -289,6 +328,64 @@ class SyntheticStereoSequence:
                 t = (i - a) / (b - a)
                 return base + peak * np.sin(np.pi * t) ** 2
         return base
+
+    #: frames per exact-90-degree turn. sin^2 profile -> peak per-frame yaw
+    #: pi/TURN_FRAMES = 0.0952 rad, deliberately just under the reference's
+    #: 0.1 rad rejection gate (src/main.cpp:201-208).
+    TURN_FRAMES = 33
+
+    @classmethod
+    def _turn_step(cls, t_idx: int, sign: float) -> float:
+        """Per-frame yaw inside a turn: sin^2-ramped and EXACT — the T
+        half-sample-offset sin^2 values sum to exactly T/2, so each turn
+        integrates to precisely sign * pi/2 (what makes the loop course
+        close and the long course's snake lattice stay parallel)."""
+        T = cls.TURN_FRAMES
+        return sign * (np.pi / 2.0) * (2.0 / T) * (
+            np.sin(np.pi * (t_idx + 0.5) / T) ** 2)
+
+    @classmethod
+    def _long_yaw_rate(cls, i: int, n: int) -> float:
+        """"long" course: alternating exact +-90-degree turns between long
+        straights — a snake that never self-intersects (parallel legs sit
+        ~a full straight apart, far beyond the 2 x 16 m corridor width), so
+        arbitrarily long courses stay fair. Straights carry a small
+        zero-mean yaw wander (unlike the straight course's biased 0.004
+        arc, which would curl a km-scale path onto itself)."""
+        gap = max(120, n // 9)          # frames between turn starts
+        t_idx = i % gap
+        turn_no = i // gap
+        if turn_no >= 1 and t_idx < cls.TURN_FRAMES:
+            sign = 1.0 if turn_no % 2 == 1 else -1.0
+            return cls._turn_step(t_idx, sign)
+        return 0.002 * np.sin(i * 0.21)
+
+    @classmethod
+    def _loop_schedule(cls, n: int) -> tuple[int, int, int]:
+        """(straight_frames, turn_frames, loop_frame) for an n-frame loop:
+        four (straight + exact 90-degree turn) units; the ground-truth pose
+        returns to the start at frame 4 * (S + T)."""
+        T = cls.TURN_FRAMES
+        S = (n - 1) // 4 - T            # closure frame must exist: <= n-1
+        if S < 4:
+            raise ValueError(
+                f"loop course needs >= {4 * (T + 4) + 1} frames (got {n})")
+        return S, T, 4 * (S + T)
+
+    @classmethod
+    def _loop_yaw_rate(cls, i: int, n: int) -> float:
+        """"loop" course: four straight+turn units of exact +90 degrees.
+        Up to the small lateral wobble, the four 90-degree-rotated copies of
+        one unit's displacement sum to zero, so the ground-truth pose at
+        ``loop_frame`` coincides with the start pose — end-to-end loop
+        closure becomes a direct self-check of the whole pipeline."""
+        S, T, close = cls._loop_schedule(n)
+        if i >= close:
+            return 0.0                   # past closure: continue straight
+        t_idx = i % (S + T)
+        if t_idx >= S:
+            return cls._turn_step(t_idx - S, 1.0)
+        return 0.0
 
     def _apply_photometric(self, img: np.ndarray, i: int,
                            right: bool) -> np.ndarray:
@@ -414,7 +511,7 @@ class SyntheticStereoSequence:
 #: Gauntlet course registry (VERDICT.md round-2 missing #1): the bench and
 #: e2e tests gate accuracy on MULTIPLE courses, not just the gentle straight
 #: corridor the tracker was tuned on.
-COURSES = ("straight", "turning", "stress", "gatespike")
+COURSES = ("straight", "turning", "stress", "gatespike", "long", "loop")
 
 
 def make_course(name: str, intrinsics: CameraIntrinsics, num_frames: int,
@@ -432,7 +529,22 @@ def make_course(name: str, intrinsics: CameraIntrinsics, num_frames: int,
       (reference src/main.cpp:201-208); exercises rejection + recovery,
       not trajectory accuracy (the skipped motion is unrecoverable by
       design, for the reference too).
+    - "long": the endurance snake (alternating exact 90-degree turns,
+      non-self-intersecting) at 1.25 m/frame, so >= 800 m — every devkit
+      segment-length bucket (reference evaluate_odometry.cpp:12-15) —
+      takes ~650 frames and a 1,000+ frame soak covers ~1.3 km.
+    - "loop": closed square circuit returning exactly to the start pose
+      (``seq.loop_frame``); end-to-end loop-closure error is the strongest
+      self-check synthetic ground truth allows.
     """
+    if name == "long":
+        return SyntheticStereoSequence(
+            intrinsics, num_frames=num_frames, seed=seed, speed=1.25,
+            course="long")
+    if name == "loop":
+        return SyntheticStereoSequence(
+            intrinsics, num_frames=num_frames, seed=seed, speed=speed,
+            course="loop")
     if name == "straight":
         return SyntheticStereoSequence(
             intrinsics, num_frames=num_frames, seed=seed, speed=speed)

@@ -77,13 +77,14 @@ class LKImage:
 def _pad_reflect(img: jnp.ndarray, pad: int) -> jnp.ndarray:
     p = jnp.pad(img, ((pad, pad), (pad, pad)), mode="reflect")
     # Extra zero padding bottom/right for the Pallas kernel's aligned window
-    # loads: rows to a multiple of 8 with >= 10 rows of slack (32-row aligned
-    # loads from row floor(sy/8)*8), lanes to a multiple of 128. Outside the
-    # legal gather region for both backends, so numerics are unaffected.
+    # loads (the shared rule lives in ops.pyramid.aligned_extent). Outside
+    # the legal gather region for both backends, so numerics are unaffected.
+    from visual_odom_tpu.ops.pyramid import aligned_extent
+
     Hp, Wp = p.shape
-    H_tot = -(-(Hp + 10) // 8) * 8
-    W_tot = -(-(Wp + 234) // 128) * 128  # lane-aligned 256-wide loads
-    return jnp.pad(p, ((0, H_tot - Hp), (0, W_tot - Wp)))
+    h, w = img.shape
+    return jnp.pad(p, ((0, aligned_extent(h, pad, 0) - Hp),
+                       (0, aligned_extent(w, pad, 1) - Wp)))
 
 
 @partial(jax.jit, static_argnames=("params", "with_derivs"))

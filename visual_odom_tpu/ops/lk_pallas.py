@@ -570,13 +570,14 @@ def _build_legs_call_batched(params: LKParams, shapes: tuple, pad: int,
     grid = (B, pl.cdiv(n, fb))
     # Leading batch dim squeezed away by the None block entry: the kernel
     # body sees the exact 2-D refs of the unbatched call.
+    from visual_odom_tpu.ops.pyramid import aligned_extent
+
     n_planes_shapes = []
     for im in range(n_imgs):
         for lv in range(params.levels + 1):
             rows, cols = shapes[lv]
-            Hp = -(-(rows + 2 * pad + 10) // 8) * 8
-            Wp = -(-(cols + 2 * pad + 234) // 128) * 128
-            n_planes_shapes.append((Hp, Wp))
+            n_planes_shapes.append((aligned_extent(rows, pad, 0),
+                                    aligned_extent(cols, pad, 1)))
     img_specs = [
         pl.BlockSpec((None, hp, wp), lambda b, i: (b, 0, 0),
                      memory_space=pltpu.VMEM)

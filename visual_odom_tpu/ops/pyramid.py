@@ -134,13 +134,21 @@ def _down_band_matrix(n_in: int) -> np.ndarray:
     return M
 
 
-def _aligned_totals(n_logical: int, pad: int, axis: int) -> int:
-    """Padded-buffer extent along ``axis`` (0=rows, 1=lanes) matching
-    ops.lk._pad_reflect's alignment rule."""
+def aligned_extent(n_logical: int, pad: int, axis: int) -> int:
+    """THE padded-buffer alignment rule, shared by every producer/consumer
+    of LK image planes (ops.lk._pad_reflect, the band matrices below, the
+    batch-gridded Pallas BlockSpecs, scripts/prep_bench.py): a (n_logical +
+    2*pad) reflect-padded axis is zero-extended along ``axis`` (0=rows,
+    1=lanes) so the Pallas kernel's tile-aligned (32, 256) superblock loads
+    are always in-bounds — rows to a multiple of 8 with >= 10 rows of
+    slack, lanes to a multiple of 128 with >= 234 lanes of slack."""
     npad = n_logical + 2 * pad
     if axis == 0:
         return -(-(npad + 10) // 8) * 8
     return -(-(npad + 234) // 128) * 128
+
+
+_aligned_totals = aligned_extent  # internal alias (band-matrix builders)
 
 
 @functools.lru_cache(maxsize=None)

@@ -84,27 +84,56 @@ def run_sequences_batched(
 
         q: "_queue.Queue" = _queue.Queue(maxsize=2)
         err: list = []
+        cancel = _threading.Event()
+
+        def _put(item) -> bool:
+            # Bounded put that gives up when the consumer has died, so an
+            # exception mid-loop can't leave this thread blocked forever
+            # holding decoded chunks (ADVICE r3, same fix as
+            # runner.run_sequence_scan).
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def uploader():
             try:
                 for c in range(n_chunks):
-                    q.put(chunk_at(c))
+                    if not _put(chunk_at(c)):
+                        return
             except BaseException as e:
                 err.append(e)
             finally:
-                q.put(None)
+                _put(None)
 
         th = _threading.Thread(target=uploader, daemon=True)
         th.start()
         outs = []
-        t0 = time.perf_counter()
+        # First q.get() BEFORE the timer: the first chunk's decode+upload is
+        # excluded from the measured wall, mirroring run_sequence_scan's
+        # pre-timed dl0/dr0 so SCALING_* artifacts compare like for like
+        # (ADVICE r3 methodology note).
         cur = q.get()
-        while cur is not None:
-            state, out = scan(state, cur[0], cur[1])
-            outs.append(out)
-            cur = q.get()
-        jax.block_until_ready(outs[-1].T_inv)
-        wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        try:
+            while cur is not None:
+                state, out = scan(state, cur[0], cur[1])
+                outs.append(out)
+                cur = q.get()
+            jax.block_until_ready(outs[-1].T_inv)
+            wall = time.perf_counter() - t0
+        except BaseException:
+            cancel.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except _queue.Empty:
+                pass
+            th.join(timeout=30.0)
+            raise
         th.join()
         if err:
             raise err[0]

@@ -479,18 +479,42 @@ def run_sequence_scan(
     q: "_queue.Queue" = _queue.Queue(
         maxsize=1_000_000 if preupload else 2)
     upload_err: list = []
+    # Cancellation: if the consumer dies mid-loop the uploader must not sit
+    # blocked on q.put forever holding decoded chunks and device buffers
+    # (ADVICE r3: the daemon flag hides the leak at process exit but not in
+    # a long-lived host process).
+    cancel = _threading.Event()
+
+    def _put(item) -> bool:
+        while not cancel.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def _uploader():
         try:
             nxt = next(chunks, None)
-            while nxt is not None:
-                q.put((jax.device_put(nxt[0]), jax.device_put(nxt[1]),
-                       nxt[2]))
+            while nxt is not None and not cancel.is_set():
+                if not _put((jax.device_put(nxt[0]), jax.device_put(nxt[1]),
+                             nxt[2])):
+                    return
                 nxt = next(chunks, None)
         except BaseException as e:  # surface decode/upload failures
             upload_err.append(e)
         finally:
-            q.put(None)
+            _put(None)
+
+    def _cancel_uploader():
+        cancel.set()
+        try:
+            while True:
+                q.get_nowait()
+        except _queue.Empty:
+            pass
+        th.join(timeout=30.0)
 
     th = _threading.Thread(target=_uploader, daemon=True)
     th.start()
@@ -509,18 +533,22 @@ def run_sequence_scan(
             q.put(item)
         q.put(None)
 
-    t0 = time.perf_counter()
-    outs = []
-    n = 0
-    cur = (dl0, dr0, first[2])
-    while cur is not None:
-        dl, dr, n_real = cur
-        state, out = scan(state, dl, dr)   # async dispatch
-        outs.append(out)
-        n += n_real
-        cur = q.get()
-    final = jax.tree.map(np.asarray, outs[-1])  # sync
-    wall = time.perf_counter() - t0
+    try:
+        t0 = time.perf_counter()
+        outs = []
+        n = 0
+        cur = (dl0, dr0, first[2])
+        while cur is not None:
+            dl, dr, n_real = cur
+            state, out = scan(state, dl, dr)   # async dispatch
+            outs.append(out)
+            n += n_real
+            cur = q.get()
+        final = jax.tree.map(np.asarray, outs[-1])  # sync
+        wall = time.perf_counter() - t0
+    except BaseException:
+        _cancel_uploader()
+        raise
     th.join()
     if upload_err:
         raise upload_err[0]
