@@ -61,3 +61,27 @@ def test_fast_corners_sparse_api():
     # Scores descending; valid entries first.
     assert (np.diff(scores[: int(n)]) <= 0).all()
     assert valid[: int(n)].all()
+
+
+def test_shi_tomasi_corner_map_contract():
+    """Dense Shi-Tomasi map shares fast_score_map's contract: > 0 exactly at
+    accepted corners, peaks isolated by min_distance."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from visual_odom_tpu.ops.fast import (
+        good_features_to_track,
+        shi_tomasi_corner_map,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 255, (64, 96)).astype(np.float32)
+    dense = np.asarray(shi_tomasi_corner_map(jnp.asarray(img)))
+    assert dense.shape == (64, 96)
+    ys, xs = np.nonzero(dense > 0)
+    assert len(ys) > 5
+    # Dense peaks == the sparse API's accepted corners (same semantics).
+    pts, scores, valid = good_features_to_track(jnp.asarray(img))
+    sparse = set((int(y), int(x)) for (x, y), v in
+                 zip(np.asarray(pts), np.asarray(valid)) if v)
+    assert set(zip(ys.tolist(), xs.tolist())) == sparse

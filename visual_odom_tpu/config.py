@@ -127,9 +127,15 @@ class VOConfig:
     height: int = 376
     width: int = 1241
 
-    # --- FAST detection (reference src/feature.cpp:43-45) ---
+    # --- detection ---
+    # "fast" = FAST-9/16 (the reference's main path, src/feature.cpp:43-45);
+    # "shi-tomasi" = goodFeaturesToTrack min-eigenvalue detector (the
+    # reference's alternative API surface, src/feature.cpp:49-62).
+    detector: str = "fast"
     fast_threshold: int = 20
     fast_nonmax: bool = True
+    shi_tomasi_quality: float = 0.01   # reference src/feature.cpp:55
+    shi_tomasi_min_distance: float = 5.0  # reference src/feature.cpp:56
 
     # --- bucketing (reference src/visualOdometry.cpp:106-108) ---
     bucket_rows: int = 10          # bucket_size = height // bucket_rows
@@ -184,6 +190,12 @@ class VOConfig:
     # Same converged minima, roughly half the solver iterations; the
     # circular-closure check still validates every track. ---
     predictive_seeding: bool = True
+
+    def __post_init__(self):
+        if self.detector not in ("fast", "shi-tomasi"):
+            raise ValueError(
+                f"detector must be 'fast' or 'shi-tomasi', got "
+                f"{self.detector!r}")
 
     def resolved_lk_backend(self) -> str:
         if self.lk_backend is not None:

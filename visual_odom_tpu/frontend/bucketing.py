@@ -69,9 +69,18 @@ def detect_and_bucket(
     N = state.capacity
 
     # ---- best K fresh corners per cell (dense reduction, top_k per cell) --
-    score = fast_score_map(
-        image_l0, threshold=config.fast_threshold, nonmax=config.fast_nonmax
-    )
+    # Both detectors share the dense-map contract (score > 0 iff corner),
+    # so the selector is a compile-time branch on the static config.
+    if config.detector == "shi-tomasi":
+        from visual_odom_tpu.ops.fast import shi_tomasi_corner_map
+
+        score = shi_tomasi_corner_map(
+            image_l0, quality_level=config.shi_tomasi_quality,
+            min_distance=config.shi_tomasi_min_distance)
+    else:
+        score = fast_score_map(
+            image_l0, threshold=config.fast_threshold,
+            nonmax=config.fast_nonmax)
     cropped = score[: gh * bs, : gw * bs]
     cells = cropped.reshape(gh, bs, gw, bs).transpose(0, 2, 1, 3).reshape(G, bs * bs)
     # Per-cell top-K via K max/argmax rounds (NOT lax.top_k: that lowers to

@@ -163,6 +163,28 @@ def shi_tomasi_score_map(img: jnp.ndarray, block_size: int = 3) -> jnp.ndarray:
     return tr - det_root
 
 
+@partial(jax.jit, static_argnames=("quality_level", "min_distance"))
+def shi_tomasi_corner_map(
+    img: jnp.ndarray,
+    quality_level: float = 0.01,
+    min_distance: float = 5.0,
+) -> jnp.ndarray:
+    """Dense corner map with goodFeaturesToTrack semantics: (H, W) float32,
+    score > 0 exactly at accepted corners, 0 elsewhere — the same contract
+    as fast_score_map, so frontend/bucketing.detect_and_bucket can consume
+    either detector unchanged (reference featureDetectionGoodFeaturesToTrack,
+    src/feature.cpp:49-62: maxCorners=5000, qualityLevel=0.01,
+    minDistance=5; the per-cell bucketing downstream enforces a stronger
+    spatial cap than maxCorners ever would)."""
+    score = shi_tomasi_score_map(img)
+    r = int(min_distance)
+    pooled = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (2 * r + 1, 2 * r + 1), (1, 1), "SAME"
+    )
+    is_peak = (score >= pooled) & (score > quality_level * jnp.max(score))
+    return jnp.where(is_peak, score, 0.0)
+
+
 def good_features_to_track(
     img: jnp.ndarray,
     max_corners: int = 5000,

@@ -26,7 +26,10 @@ import numpy as np
 #: (flag, VOConfig field, type) — every algorithm constant the reference
 #: hard-codes (SURVEY.md section 5 config: "everything overridable via CLI").
 _CONFIG_FLAGS = [
+    ("detector", "detector", str),          # fast | shi-tomasi
     ("fast-threshold", "fast_threshold", int),
+    ("shi-tomasi-quality", "shi_tomasi_quality", float),
+    ("shi-tomasi-min-distance", "shi_tomasi_min_distance", float),
     ("bucket-rows", "bucket_rows", int),
     ("features-per-bucket", "features_per_bucket", int),
     ("age-threshold", "age_threshold", int),
