@@ -120,6 +120,52 @@ def _cmd_run(args) -> int:
         gt = load_poses(args.ground_truth) if args.ground_truth else None
 
     cfg = config_from_args(args, h, w)
+    if args.chunk:
+        # Chunked-scan fast path (one device dispatch per --chunk frames);
+        # with --checkpoint it snapshots at chunk boundaries and resumes
+        # (runner.run_sequence_scan_resumable). Per-frame host features
+        # (metrics JSONL, track overlays, BA track collection) need the
+        # interactive runner.
+        if args.ba_window or args.tracks_dir or args.metrics:
+            print("--chunk is the no-host-sync fast path; it cannot emit "
+                  "per-frame metrics/tracks or collect BA windows — drop "
+                  "--chunk or those flags")
+            return 1
+        from visual_odom_tpu.io.kitti import save_poses_kitti
+        from visual_odom_tpu.runner.pipeline import (
+            run_sequence_scan,
+            run_sequence_scan_resumable,
+        )
+
+        if args.checkpoint:
+            seq_obj = locals().get("kseq") or locals().get("seq")
+            if seq_obj is None or not hasattr(seq_obj, "frame"):
+                print("--checkpoint needs a random-access sequence "
+                      "(KITTI dir or synthetic)")
+                return 1
+            poses, fetched, wall, processed = run_sequence_scan_resumable(
+                seq_obj, cfg, intr,
+                checkpoint_path=args.checkpoint,
+                checkpoint_every=args.checkpoint_every,
+                chunk=args.chunk,
+                max_frames=args.max_frames,
+                verbose=not args.quiet,
+            )
+        else:
+            poses, fetched, wall, processed = run_sequence_scan(
+                frames, cfg, intr, chunk=args.chunk)
+        if not args.quiet and processed:
+            print(f"{processed} frames in {wall:.2f}s "
+                  f"({processed / wall:.1f} FPS)")
+        if args.output:
+            save_poses_kitti(args.output, poses)
+        if args.trajectory_png:
+            save_png(args.trajectory_png, render_trajectory(poses, gt))
+        if gt is not None:
+            n = min(len(gt), len(poses))
+            print(json.dumps(evaluate_sequence(np.asarray(gt)[:n],
+                                               poses[:n]), indent=2))
+        return 0
     if args.checkpoint:
         from visual_odom_tpu.runner.pipeline import run_sequence_resumable
 
@@ -318,10 +364,16 @@ def main(argv=None) -> int:
     pr.add_argument("--metrics", help="write JSONL per-frame metrics here")
     pr.add_argument("--trajectory-png", help="write bird's-eye trajectory PNG")
     pr.add_argument("--max-frames", type=int, default=0)
+    pr.add_argument("--chunk", type=int, default=0,
+                    help="frames per device dispatch (0 = interactive "
+                         "per-frame runner; > 0 = chunked-scan fast path)")
     pr.add_argument("--checkpoint",
-                    help="checkpoint file; resumes from it when present")
+                    help="checkpoint file; resumes from it when present "
+                         "(with --chunk: chunk-boundary snapshots on the "
+                         "fast path)")
     pr.add_argument("--checkpoint-every", type=int, default=100,
-                    help="snapshot interval in frames")
+                    help="snapshot interval in frames (rounded up to a "
+                         "chunk multiple on the fast path)")
     pr.add_argument("--tracks-dir",
                     help="write displayTracking-style overlay PNGs here")
     pr.add_argument("--tracks-every", type=int, default=50)

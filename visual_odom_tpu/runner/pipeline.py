@@ -559,6 +559,263 @@ def run_sequence_scan(
     return poses, fetched, wall, len(outs) * chunk
 
 
+def restore_scan_state(config: VOConfig, intrinsics: CameraIntrinsics,
+                       ckpt: dict, left_t0, right_t0) -> VOState:
+    """Rebuild a device VOState from a scan snapshot + the checkpointed
+    frame's images (pyramids are a pure function of frame t0, recomputed
+    exactly as the pipeline computes them — same contract as restore_vo)."""
+    from visual_odom_tpu.frontend.featureset import FeatureState
+
+    @jax.jit
+    def _build(points, ages, valid, ids, next_id, flow, disp, tvec, key,
+               l0, r0):
+        return VOState(
+            features=FeatureState(points=points, ages=ages, valid=valid,
+                                  ids=ids, next_id=next_id, flow=flow,
+                                  disp=disp),
+            lk_l0=prep_image(l0, config),
+            lk_r0=prep_image(r0, config),
+            tvec=tvec,
+            key=key,
+        )
+
+    return _build(
+        jnp.asarray(ckpt["points"]), jnp.asarray(ckpt["ages"]),
+        jnp.asarray(ckpt["valid"]), jnp.asarray(ckpt["ids"]),
+        jnp.asarray(ckpt["next_id"]), jnp.asarray(ckpt["flow"]),
+        jnp.asarray(ckpt["disp"]), jnp.asarray(ckpt["tvec"]),
+        jnp.asarray(ckpt["key"]), jnp.asarray(left_t0),
+        jnp.asarray(right_t0))
+
+
+def _make_snapshot_packer(config: VOConfig):
+    """Jitted VOState -> (f32 vector, i32 vector) pack: a scan checkpoint's
+    device->host traffic is TWO fetches, not nine — over the axon tunnel a
+    fetch costs ~1 s regardless of size, so per-leaf fetching would dwarf
+    the 64-frame chunk the snapshot covers."""
+
+    @jax.jit
+    def pack(state: VOState):
+        f = state.features
+        f32 = jnp.concatenate([
+            f.points.reshape(-1), f.flow.reshape(-1), f.disp.reshape(-1),
+            state.tvec.astype(jnp.float32)])
+        i32 = jnp.concatenate([
+            f.ages.astype(jnp.int32), f.valid.astype(jnp.int32),
+            f.ids.astype(jnp.int32), f.next_id.reshape(1).astype(jnp.int32),
+            jax.lax.bitcast_convert_type(state.key, jnp.int32).reshape(-1)])
+        return f32, i32
+
+    return pack
+
+
+def _unpack_snapshot(config: VOConfig, f32: np.ndarray,
+                     i32: np.ndarray) -> dict:
+    """Host-side inverse of _make_snapshot_packer's layout."""
+    P = config.padded_features
+    return {
+        "points": f32[: 2 * P].reshape(P, 2),
+        "flow": f32[2 * P: 4 * P].reshape(P, 2),
+        "disp": f32[4 * P: 6 * P].reshape(P, 2),
+        "tvec": f32[6 * P: 6 * P + 3],
+        "ages": i32[:P],
+        "valid": i32[P: 2 * P] != 0,
+        "ids": i32[2 * P: 3 * P],
+        "next_id": i32[3 * P],
+        "key": i32[3 * P + 1:].view(np.uint32),
+    }
+
+
+def run_sequence_scan_resumable(
+    seq,
+    config: VOConfig,
+    intrinsics: CameraIntrinsics,
+    checkpoint_path: str,
+    checkpoint_every: int = 256,
+    chunk: int = 64,
+    seed: int = 0,
+    max_frames: int = 0,
+    warmup: bool = True,
+    verbose: bool = False,
+):
+    """Chunked-scan runner with chunk-boundary checkpointing + crash resume
+    — the FAST path's checkpointing (VERDICT.md round-3 weak #5: the
+    interactive resumable runner is ~10x slower than the scan path, which
+    inverts the point of checkpointing for exactly the long runs it was
+    built for).
+
+    ``seq`` must be random-access (``.frame(i)`` + ``len``), the same
+    contract as run_sequence_resumable: the snapshot stores no images —
+    frame t0's pyramids are rebuilt from ``seq.frame(frames_done)`` at
+    resume. Snapshots are written every ``checkpoint_every`` frames
+    (rounded UP to a chunk multiple, so chunk boundaries of a resumed run
+    align with an uninterrupted one and the replayed scan programs are
+    bit-identical — the resume test asserts bitwise pose equality), via the
+    same atomic tmp+rename write as the interactive path.
+
+    Returns (poses (N+1, 4, 4) f64, fetched StepOutput stack (numpy),
+    wall_seconds, frames_processed). The wall covers this invocation's
+    steady-state scan loop (checkpoint fetch+write included — the cost of
+    durability; measured ~ms per snapshot against ~0.5 s per 64-frame
+    chunk).
+    """
+    import os
+
+    from visual_odom_tpu.utils.checkpoint import (
+        CorruptCheckpoint,
+        load_scan_checkpoint,
+        save_scan_checkpoint,
+    )
+
+    n_total = len(seq) if not max_frames else min(len(seq), max_frames)
+    n_steps = n_total - 1
+    # Align checkpoints to chunk boundaries (see docstring).
+    ck_chunks = max(1, -(-checkpoint_every // chunk))
+
+    start_step = 0
+    prev_fetched = None
+    state = None
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        try:
+            ck = load_scan_checkpoint(checkpoint_path)
+            start_step = int(ck["frames_done"])
+            if start_step > n_steps:
+                raise CorruptCheckpoint(
+                    f"cursor {start_step} beyond sequence ({n_steps} steps)")
+            prev_fetched = StepOutput(**{
+                k: ck["out_" + k] for k in StepOutput._fields})
+            if start_step < n_steps:
+                left_k, right_k = seq.frame(start_step)
+                state = restore_scan_state(config, intrinsics, ck, left_k,
+                                           right_k)
+            if verbose:
+                print(f"resumed scan from {checkpoint_path} "
+                      f"at step {start_step}")
+        except CorruptCheckpoint as e:
+            import sys
+
+            print(f"warning: rejecting corrupt checkpoint: {e}",
+                  file=sys.stderr)
+            start_step = 0
+            prev_fetched = None
+            state = None
+    def _finish(fetched, wall, processed):
+        poses = chain_poses_host(fetched.T_inv, fetched.accept)
+        return poses, fetched, wall, processed
+
+    if start_step >= n_steps:  # checkpoint already covers the whole run
+        return _finish(prev_fetched, 0.0, 0)
+    if state is None:
+        l0, r0 = seq.frame(0)
+        state = init_vo_state(config, intrinsics, l0, r0, seed)
+
+    scan = make_scan_step_fn(config, intrinsics, chunk)
+    pack = _make_snapshot_packer(config)
+    if warmup:
+        lw, rw = seq.frame(min(start_step + 1, n_steps))
+        dlw = jax.device_put(np.broadcast_to(np.asarray(lw),
+                                             (chunk,) + lw.shape).copy())
+        drw = jax.device_put(np.broadcast_to(np.asarray(rw),
+                                             (chunk,) + rw.shape).copy())
+        wstate = init_vo_state(config, intrinsics, lw, rw, seed)
+        wstate, wout = scan(wstate, dlw, drw)
+        jax.tree.map(np.asarray, wout)
+
+    def frame_iter():
+        for i in range(start_step + 1, n_total):
+            yield seq.frame(i)
+
+    chunks = _frame_chunks(iter(frame_iter()), chunk)
+
+    import queue as _queue
+    import threading as _threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=2)
+    upload_err: list = []
+    cancel = _threading.Event()
+
+    def _put(item) -> bool:
+        while not cancel.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
+    def _uploader():
+        try:
+            nxt = next(chunks, None)
+            while nxt is not None and not cancel.is_set():
+                if not _put((jax.device_put(nxt[0]), jax.device_put(nxt[1]),
+                             nxt[2])):
+                    return
+                nxt = next(chunks, None)
+        except BaseException as e:
+            upload_err.append(e)
+        finally:
+            _put(None)
+
+    th = _threading.Thread(target=_uploader, daemon=True)
+    th.start()
+
+    fetched_np: list = []       # numpy StepOutput stacks, one per chunk
+    pending: list = []          # device StepOutput stacks not yet fetched
+    steps_done = start_step
+
+    def _fetch_pending():
+        while pending:
+            fetched_np.append(jax.tree.map(np.asarray, pending.pop(0)))
+
+    def _all_fetched():
+        parts = ([prev_fetched] if prev_fetched is not None else []) \
+            + fetched_np
+        cat = jax.tree.map(lambda *xs: np.concatenate(xs), *parts)
+        return jax.tree.map(lambda x: x[:steps_done], cat)
+
+    t0 = time.perf_counter()
+    try:
+        full_chunks = 0
+        cur = q.get()
+        while cur is not None:
+            dl, dr, n_real = cur
+            state, out = scan(state, dl, dr)
+            pending.append(out)
+            steps_done = min(steps_done + chunk, n_steps)
+            if n_real == chunk:
+                full_chunks += 1
+                if checkpoint_path and full_chunks % ck_chunks == 0:
+                    # Fetch packed state (syncs past this chunk: 2 tunnel
+                    # round trips) + seal outputs.
+                    f32v, i32v = pack(state)
+                    arrays = _unpack_snapshot(config, np.asarray(f32v),
+                                              np.asarray(i32v))
+                    _fetch_pending()
+                    save_scan_checkpoint(checkpoint_path, steps_done,
+                                         arrays, _all_fetched())
+                    if verbose:
+                        print(f"checkpoint @ step {steps_done}")
+            cur = q.get()
+        _fetch_pending()
+        wall = time.perf_counter() - t0
+    except BaseException:
+        cancel.set()
+        try:
+            while True:
+                q.get_nowait()
+        except _queue.Empty:
+            pass
+        th.join(timeout=30.0)
+        raise
+    th.join()
+    if upload_err:
+        raise upload_err[0]
+
+    fetched = _all_fetched()
+    processed = steps_done - start_step
+    return _finish(fetched, wall, processed)
+
+
 def _make_raw_step(config: VOConfig, intrinsics: CameraIntrinsics):
     """Unjitted (state, left, right) -> (state, StepOutput) closure shared by
     the interactive and buffered front doors."""
