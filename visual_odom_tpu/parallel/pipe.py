@@ -66,14 +66,6 @@ def run_sequence_pipelined(
     Returns (poses (N+1, 4, 4) float64, fetched StepOutput stack, wall_s) —
     same contract (and the same numbers) as runner.run_sequence_scan.
     """
-    if config.mono_rotation:
-        # The backend stage below always takes rotation from pnp.rvec; the
-        # essential-matrix rotation path would need the l0/l1 points in its
-        # packet. Refuse rather than silently diverge from the sequential
-        # runner's numbers (module contract above).
-        raise NotImplementedError(
-            "run_sequence_pipelined does not implement mono_rotation; "
-            "use the sequential or scan runner")
     devs = list(devices if devices is not None else jax.devices())
     if len(devs) < 2:
         raise ValueError("pipeline parallelism needs two devices")
@@ -121,13 +113,35 @@ def run_sequence_pipelined(
             sample_size=config.ransac_sample_size,
             refine_iters=config.pnp_refine_iters,
         )
-        gate = gate_and_integrate(pnp.rvec, pnp.tvec)
+        # Optional mono rotation — the SAME ops and RNG stream as the
+        # sequential step (runner/pipeline.py step: sub2 from a second
+        # split, key advanced), so pipelined numbers stay bitwise-equal.
+        # The packet already carries the l0/l1 correspondences the
+        # essential solve needs (packet columns 0:2 and 4:6).
+        rvec_out = pnp.rvec
+        if config.mono_rotation:
+            from visual_odom_tpu.backend.essential import (
+                find_essential_ransac,
+            )
+            from visual_odom_tpu.core.lie import rodrigues_inverse
+
+            key2, sub2 = jax.random.split(key)
+            ess = find_essential_ransac(
+                pts_l0, pts_l1, valid,
+                float(intrinsics.fx),
+                (float(intrinsics.cx), float(intrinsics.cy)),
+                sub2,
+            )
+            rvec_out = rodrigues_inverse(ess.R)
+            key = key2
+
+        gate = gate_and_integrate(rvec_out, pnp.tvec)
         warm = jnp.where(
             gate.accept & jnp.bool_(config.use_extrinsic_guess),
             pnp.tvec, jnp.zeros(3, jnp.float32))
         out = StepOutput(
             T_inv=gate.T_inv, accept=gate.accept, scale=gate.scale,
-            euler=gate.euler, rvec=pnp.rvec, tvec=pnp.tvec,
+            euler=gate.euler, rvec=rvec_out, tvec=pnp.tvec,
             num_inliers=pnp.num_inliers,
             num_matched=jnp.sum(valid).astype(jnp.int32),
             num_bucketed=jnp.sum(valid).astype(jnp.int32),
