@@ -74,3 +74,49 @@ def test_matches_opencv_recoverpose():
     # recoverPose returns cam1->cam2 with our same convention; compare to cv
     assert angle_between(np.asarray(res.R), R_cv) < 0.3
     assert abs(np.dot(np.asarray(res.t), t_cv.ravel())) > 0.98
+
+
+def test_five_point_minimal_exact():
+    """The batched Nister solver recovers the true E from 5 exact
+    correspondences (reference algorithm: cv::findEssentialMat's minimal
+    solver, src/visualOdometry.cpp:154)."""
+    from visual_odom_tpu.backend.five_point import five_point_essential
+
+    rng = np.random.default_rng(7)
+    ok_trials = 0
+    for seed in range(6):
+        uv1, uv2, R_gt, t_gt, _ = make_two_view(n=5, seed=seed)
+        x1 = (uv1 - np.asarray(PP)) / FX
+        x2 = (uv2 - np.asarray(PP)) / FX
+        Es, ok = five_point_essential(jnp.asarray(x1), jnp.asarray(x2))
+        Es, ok = np.asarray(Es), np.asarray(ok)
+        T = np.array([[0, -t_gt[2], t_gt[1]], [t_gt[2], 0, -t_gt[0]],
+                      [-t_gt[1], t_gt[0], 0]])
+        E_true = T @ R_gt
+        E_true /= np.linalg.norm(E_true)
+        best = min(
+            (min(np.linalg.norm(Es[j] - E_true),
+                 np.linalg.norm(Es[j] + E_true))
+             for j in range(10) if ok[j]),
+            default=np.inf)
+        if best < 2e-2:
+            ok_trials += 1
+    # f32 floor: ~65% of minimal samples recover their true root (measured;
+    # the rest are f32-conditioning casualties RANSAC absorbs — the final R
+    # accuracy comes from the inlier-set polish, gated by the tests below).
+    assert ok_trials >= 3, ok_trials
+
+
+def test_five_point_and_eight_point_ransac_agree():
+    uv1, uv2, R_gt, t_gt, _ = make_two_view(noise=0.3, outlier_frac=0.2,
+                                            seed=3)
+    n = len(uv1)
+    res5 = find_essential_ransac(
+        jnp.asarray(uv1), jnp.asarray(uv2), jnp.ones(n, bool), FX, PP,
+        jax.random.PRNGKey(0), solver="5pt")
+    res8 = find_essential_ransac(
+        jnp.asarray(uv1), jnp.asarray(uv2), jnp.ones(n, bool), FX, PP,
+        jax.random.PRNGKey(0), solver="8pt")
+    assert angle_between(np.asarray(res5.R), R_gt) < 1.0
+    assert angle_between(np.asarray(res8.R), R_gt) < 1.0
+    assert angle_between(np.asarray(res5.R), np.asarray(res8.R)) < 1.0

@@ -6,15 +6,16 @@ threshold=1.0) followed by cv::recoverPose. The reference's `main` disables
 it (mono_rotation=false at src/main.cpp:181) but it is part of the API
 surface (header default true, src/visualOdometry.h:42).
 
-Solver choice: OpenCV uses Nister's 5-point minimal solver, whose Groebner
-basis elimination is branch-heavy and numerically delicate — a poor fit for
-batched TPU execution. We instead run RANSAC over the 8-point linear solver
-(batched: hypothesis x 9x9 normal-equation eigenvector, all on the MXU) with
-the same Sampson-distance inlier test and threshold semantics, then polish E
-on the inlier set and decompose with the standard twisted-pair + cheirality
-vote (recoverPose). For VO-grade inlier ratios the 8-point hypothesis pool
-loses nothing measurable against 5-point while being ~20x cheaper per
-hypothesis in this execution model.
+Solver choice (``solver=``): the default "5pt" runs RANSAC over Nister's
+5-point minimal solver — the same algorithm OpenCV's findEssentialMat uses —
+in the batched TPU formulation of backend/five_point.py (interpolated
+constraint coefficients + Durand-Kerner roots; up to 10 candidate E per
+minimal sample, every candidate scored). "8pt" keeps the round-3 linear
+8-point hypothesis pool (hypothesis x 9x9 normal-equation eigenvector).
+Both share the Sampson-distance inlier test, the inlier-set polish, and the
+twisted-pair + cheirality decomposition (recoverPose); their measured
+rotation-error comparison is committed in FIVEPT_MEASURE_r04.json
+(VERDICT.md round-3 missing #2).
 """
 
 from __future__ import annotations
@@ -119,7 +120,7 @@ def _decompose_and_vote(E, x1, x2, w):
     return Rs[k], ts[k]
 
 
-@partial(jax.jit, static_argnames=("iterations", "sample_size"))
+@partial(jax.jit, static_argnames=("iterations", "sample_size", "solver"))
 def find_essential_ransac(
     pts1: jnp.ndarray,
     pts2: jnp.ndarray,
@@ -130,11 +131,14 @@ def find_essential_ransac(
     threshold: float = 1.0,
     iterations: int = 200,
     sample_size: int = 8,
+    solver: str = "5pt",
 ) -> EssentialResult:
     """findEssentialMat(RANSAC) + recoverPose in one fused computation.
 
     pts1/pts2: (N, 2) pixel correspondences (L(t0) -> L(t1), reference
     src/visualOdometry.cpp:154); threshold in pixels (reference passes 1.0).
+    ``solver``: "5pt" (Nister minimal solver, the reference's algorithm) or
+    "8pt" (linear hypotheses; ``sample_size`` applies to this one).
     """
     x1 = _normalize(pts1.astype(jnp.float32), focal, pp)
     x2 = _normalize(pts2.astype(jnp.float32), focal, pp)
@@ -143,14 +147,34 @@ def find_essential_ransac(
     N = pts1.shape[0]
     u = jax.random.uniform(key, (iterations, N))
     u = jnp.where(valid[None, :], u, -1.0)
-    _, sample_idx = jax.lax.top_k(u, sample_size)
 
-    def hypothesis(idx):
-        w = jnp.ones(sample_size, jnp.float32)
-        E = _eight_point(x1[idx], x2[idx], w)
-        d2 = _sampson_sq(E, x1, x2)
-        inl = (d2 < thr_n) & valid
-        return E, inl, jnp.sum(inl)
+    if solver == "5pt":
+        from visual_odom_tpu.backend.five_point import five_point_essential
+
+        _, sample_idx = jax.lax.top_k(u, 5)
+
+        def hypothesis(idx):
+            # Up to 10 candidate E per minimal sample; every candidate is
+            # scored and the sample contributes its best.
+            Es_c, ok_c = five_point_essential(x1[idx], x2[idx])
+            d2 = jax.vmap(lambda E: _sampson_sq(E, x1, x2))(Es_c)  # (10, N)
+            inl = (d2 < thr_n) & valid[None, :]
+            cnt = jnp.where(ok_c, jnp.sum(inl, axis=1), 0)
+            j = jnp.argmax(cnt)
+            return Es_c[j], inl[j], cnt[j]
+
+    elif solver == "8pt":
+        _, sample_idx = jax.lax.top_k(u, sample_size)
+
+        def hypothesis(idx):
+            w = jnp.ones(sample_size, jnp.float32)
+            E = _eight_point(x1[idx], x2[idx], w)
+            d2 = _sampson_sq(E, x1, x2)
+            inl = (d2 < thr_n) & valid
+            return E, inl, jnp.sum(inl)
+
+    else:
+        raise ValueError(f"solver must be '5pt' or '8pt', got {solver!r}")
 
     Es, inls, counts = jax.vmap(hypothesis)(sample_idx)
     finite = jnp.all(jnp.isfinite(Es.reshape(iterations, -1)), axis=1)
