@@ -88,6 +88,14 @@ def render_course(name: str, num_frames: int, height: int, width: int):
     return frames, seq.poses, intr
 
 
+#: per-course frame-count overrides: the endurance/devkit courses need
+#: length, not the 161-frame gauntlet default. "long" at 1.25 m/frame x
+#: 1024 steps = ~1.28 km -> every devkit segment-length bucket 100..800 m
+#: has data (VERDICT.md round-3 weak #2); "loop" closes its square at
+#: frame 668.
+COURSE_FRAMES = {"long": 1025, "loop": 705}
+
+
 def bench_course(name: str, num_frames: int, height: int, width: int,
                  reps: int = 1, chunk: int = 32, preupload: bool = True,
                  stream_rep: bool = False):
@@ -107,6 +115,7 @@ def bench_course(name: str, num_frames: int, height: int, width: int,
 
     best_fps = 0.0
     stream_fps = None
+    stream_stats = None
     fetched = None
     poses = None
     for _ in range(reps):
@@ -116,11 +125,13 @@ def bench_course(name: str, num_frames: int, height: int, width: int,
         best_fps = max(best_fps, fps)
     if stream_rep:
         # One streamed rep: decode+upload ride a background thread inside
-        # the timed region (the production path). On the axon dev tunnel
-        # this is bounded by tunnel bandwidth (0.93 MB/frame), so it is
-        # reported as an extra, not the headline device-throughput metric.
+        # the timed region (the production path). stats_out attributes the
+        # number: busy_frac ~1 with low MB/s = the tunnel binds, not the
+        # pipeline (VERDICT.md round-3 weak #1).
+        stream_stats = {}
         _, _, swall, sproc = run_sequence_scan(
-            frames, cfg, intr, chunk=chunk, preupload=False)
+            frames, cfg, intr, chunk=chunk, preupload=False,
+            stats_out=stream_stats)
         stream_fps = sproc / swall
     accept = float(np.mean(fetched.accept))
 
@@ -144,14 +155,51 @@ def bench_course(name: str, num_frames: int, height: int, width: int,
     }
     if stream_fps is not None:
         m["fps_streamed"] = round(stream_fps, 2)
+        if stream_stats:
+            m["stream_upload_mb_s"] = round(stream_stats["upload_mb_s"], 1)
+            m["stream_upload_busy_frac"] = round(stream_stats["busy_frac"], 3)
+            m["stream_upload_s"] = round(stream_stats["upload_s"], 2)
+            m["stream_decode_s"] = round(stream_stats["decode_s"], 2)
     # KITTI-devkit segment errors (needs >= 100 m of path).
     if course_len >= 100.0:
-        from visual_odom_tpu.eval.kitti_eval import evaluate_sequence
+        from visual_odom_tpu.eval.kitti_eval import (
+            calc_sequence_errors,
+            evaluate_sequence,
+        )
 
         score = evaluate_sequence(gt, poses[: len(gt)])
         if np.isfinite(score.get("t_err_pct", float("nan"))):
             m["t_err_pct"] = round(float(score["t_err_pct"]), 4)
             m["r_err_deg_per_m"] = round(float(score["r_err_deg_per_m"]), 5)
+        # Per-segment-length devkit rows (reference evaluate_odometry.cpp
+        # LENGTHS {100..800}): only courses >= 800 m fill all 8 buckets —
+        # the "long" course exists for exactly this.
+        segs = calc_sequence_errors(gt, poses[: len(gt)])
+        per_len = {}
+        for e in segs:
+            d = per_len.setdefault(int(e.length), {"n": 0, "t": 0.0,
+                                                   "r": 0.0})
+            d["n"] += 1
+            d["t"] += e.t_err
+            d["r"] += e.r_err
+        m["per_length"] = {
+            str(k): {"n": v["n"],
+                     "t_err_pct": round(100.0 * v["t"] / v["n"], 4),
+                     "r_err_deg_per_m": round(
+                         np.degrees(v["r"] / v["n"]), 5)}
+            for k, v in sorted(per_len.items())}
+    if name == "loop":
+        from visual_odom_tpu.io.synthetic import SyntheticStereoSequence
+
+        lf = SyntheticStereoSequence._loop_schedule(num_frames)[2]
+        if lf < len(poses):
+            # Estimate's failure to return to its own origin — a GT-free
+            # end-to-end self-check (the ground truth closes by
+            # construction to ~0.4 m of lateral wobble).
+            m["loop_closure_est_m"] = round(float(np.linalg.norm(
+                poses[lf][:3, 3] - poses[0][:3, 3])), 3)
+            m["loop_closure_gt_m"] = round(float(np.linalg.norm(
+                gt[lf][:3, 3] - gt[0][:3, 3])), 3)
     return best_fps, m
 
 
@@ -255,14 +303,20 @@ def main():
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--height", type=int, default=376)
     ap.add_argument("--width", type=int, default=1241)
-    ap.add_argument("--courses", default="straight,turning,stress",
-                    help="comma-separated gauntlet courses to run")
+    ap.add_argument("--courses", default="straight,turning,stress,long,loop",
+                    help="comma-separated gauntlet courses to run "
+                         "(long/loop use their own frame counts, "
+                         "see COURSE_FRAMES)")
     ap.add_argument("--chunk", type=int, default=64,
                     help="scan chunk size (frames per device dispatch)")
     args = ap.parse_args()
 
     enable_compile_cache()
     num_frames = args.frames or (65 if args.quick else 161)
+    if args.quick and args.courses == ap.get_default("courses"):
+        # quick mode keeps the 3-course gauntlet; the km-scale endurance
+        # courses belong to the full bench.
+        args.courses = "straight,turning,stress"
     courses = [c for c in args.courses.split(",") if c]
 
     t0 = time.time()
@@ -270,7 +324,9 @@ def main():
     per_course = {}
     for i, name in enumerate(courses):
         reps = (2 if not args.quick else 1) if i == 0 else 1
-        c_fps, metrics = bench_course(name, num_frames, args.height,
+        n_frames_c = COURSE_FRAMES.get(name, num_frames) \
+            if not args.frames else num_frames
+        c_fps, metrics = bench_course(name, n_frames_c, args.height,
                                       args.width, reps=reps,
                                       chunk=args.chunk,
                                       stream_rep=(i == 0 and not args.quick))

@@ -418,6 +418,7 @@ def run_sequence_scan(
     chunk: int = 32,
     warmup: bool = True,
     preupload: bool = False,
+    stats_out: Optional[dict] = None,
 ):
     """Chunked-scan sequence runner — the throughput front door.
 
@@ -494,17 +495,47 @@ def run_sequence_scan(
                 continue
         return False
 
+    # Uploader-thread attribution (VERDICT.md round-3 weak #1: a streamed-
+    # FPS number with no busy fraction / MB/s cannot distinguish a
+    # tunnel-bound run from a pipeline regression). decode_s covers pulling
+    # + stacking frames from the source iterator; upload_s covers
+    # device_put through transfer completion; the remainder of the thread's
+    # wall is backpressure wait (the device is the bottleneck).
+    stats = {"decode_s": 0.0, "upload_s": 0.0, "upload_bytes": 0,
+             "thread_wall_s": 0.0, "chunks": 0}
+
     def _uploader():
+        t_start = time.perf_counter()
         try:
+            t0 = time.perf_counter()
             nxt = next(chunks, None)
+            stats["decode_s"] += time.perf_counter() - t0
             while nxt is not None and not cancel.is_set():
-                if not _put((jax.device_put(nxt[0]), jax.device_put(nxt[1]),
-                             nxt[2])):
+                t0 = time.perf_counter()
+                dl = jax.device_put(nxt[0])
+                dr = jax.device_put(nxt[1])
+                jax.block_until_ready((dl, dr))
+                stats["upload_s"] += time.perf_counter() - t0
+                stats["upload_bytes"] += nxt[0].nbytes + nxt[1].nbytes
+                stats["chunks"] += 1
+                if not _put((dl, dr, nxt[2])):
                     return
+                t0 = time.perf_counter()
                 nxt = next(chunks, None)
+                stats["decode_s"] += time.perf_counter() - t0
         except BaseException as e:  # surface decode/upload failures
             upload_err.append(e)
         finally:
+            stats["thread_wall_s"] = time.perf_counter() - t_start
+            if stats_out is not None:
+                busy = stats["decode_s"] + stats["upload_s"]
+                stats_out.update(stats)
+                stats_out["busy_frac"] = (
+                    busy / stats["thread_wall_s"]
+                    if stats["thread_wall_s"] > 0 else 0.0)
+                stats_out["upload_mb_s"] = (
+                    stats["upload_bytes"] / 1e6 / stats["upload_s"]
+                    if stats["upload_s"] > 0 else 0.0)
             _put(None)
 
     def _cancel_uploader():
@@ -637,6 +668,7 @@ def run_sequence_scan_resumable(
     max_frames: int = 0,
     warmup: bool = True,
     verbose: bool = False,
+    stats_out: Optional[dict] = None,
 ):
     """Chunked-scan runner with chunk-boundary checkpointing + crash resume
     — the FAST path's checkpointing (VERDICT.md round-3 weak #5: the
@@ -743,17 +775,43 @@ def run_sequence_scan_resumable(
                 continue
         return False
 
+    # Same uploader attribution as run_sequence_scan (busy fraction + MB/s
+    # into stats_out) — the soak runs through THIS runner, checkpointing on.
+    stats = {"decode_s": 0.0, "upload_s": 0.0, "upload_bytes": 0,
+             "thread_wall_s": 0.0, "chunks": 0}
+
     def _uploader():
+        t_start = time.perf_counter()
         try:
+            t0 = time.perf_counter()
             nxt = next(chunks, None)
+            stats["decode_s"] += time.perf_counter() - t0
             while nxt is not None and not cancel.is_set():
-                if not _put((jax.device_put(nxt[0]), jax.device_put(nxt[1]),
-                             nxt[2])):
+                t0 = time.perf_counter()
+                dl = jax.device_put(nxt[0])
+                dr = jax.device_put(nxt[1])
+                jax.block_until_ready((dl, dr))
+                stats["upload_s"] += time.perf_counter() - t0
+                stats["upload_bytes"] += nxt[0].nbytes + nxt[1].nbytes
+                stats["chunks"] += 1
+                if not _put((dl, dr, nxt[2])):
                     return
+                t0 = time.perf_counter()
                 nxt = next(chunks, None)
+                stats["decode_s"] += time.perf_counter() - t0
         except BaseException as e:
             upload_err.append(e)
         finally:
+            stats["thread_wall_s"] = time.perf_counter() - t_start
+            if stats_out is not None:
+                busy = stats["decode_s"] + stats["upload_s"]
+                stats_out.update(stats)
+                stats_out["busy_frac"] = (
+                    busy / stats["thread_wall_s"]
+                    if stats["thread_wall_s"] > 0 else 0.0)
+                stats_out["upload_mb_s"] = (
+                    stats["upload_bytes"] / 1e6 / stats["upload_s"]
+                    if stats["upload_s"] > 0 else 0.0)
             _put(None)
 
     th = _threading.Thread(target=_uploader, daemon=True)
