@@ -34,8 +34,18 @@ import numpy as np
 
 def make_prefix_scan(config, intrinsics, stage: str, chunk: int):
     """A scan program running the step prefix up to ``stage``:
-    'pyr' | 'detect' | 'lk' | 'full'. State/carry structure matches the
-    real pipeline's VOState so program shapes are comparable."""
+
+    pyramid sub-stages (VERDICT.md round-3 weak #3 — attribute the ~4 ms
+    pyramid stage beyond its 0.35 ms of band matmuls):
+      'noop'  — scan + donated state pass-through only (the harness floor)
+      'cast'  — u8 -> f32 cast written into the aligned level-0 buffer
+      'pad'   — + REFLECT_101 border (the _pad_reflect path)
+      'pyr1'  — + first banded-matmul pyrDown level
+    then the round-3 prefixes: 'pyr' | 'detect' | 'lk' | 'full'.
+    State/carry structure matches the real pipeline's VOState in every
+    stage so program shapes are comparable; sub-stage levels not yet
+    computed are carried from the previous frame's state (same shapes,
+    no new compute)."""
     import jax
     import jax.numpy as jnp
 
@@ -56,9 +66,39 @@ def make_prefix_scan(config, intrinsics, stage: str, chunk: int):
     params = _lk_params(config)
     lk_backend = config.resolved_lk_backend()
 
+    from visual_odom_tpu.ops.lk import LKImage, _pad_reflect
+    from visual_odom_tpu.ops.pyramid import aligned_extent, padded_pyr_down
+
+    pad_px = params.window + 3
+    sub_stages = ("noop", "cast", "pad", "pyr1")
+
+    def partial_prep(img, carry_img):
+        h, w = carry_img.shapes[0]
+        if stage == "noop":
+            return carry_img
+        f = img.astype(jnp.float32)
+        if stage == "cast":
+            Ht = aligned_extent(h, pad_px, 0)
+            Wt = aligned_extent(w, pad_px, 1)
+            p0 = jnp.zeros((Ht, Wt), jnp.float32).at[
+                pad_px:pad_px + h, pad_px:pad_px + w].set(f)
+        else:
+            p0 = _pad_reflect(f, pad_px)
+        if stage == "pyr1":
+            p1 = padded_pyr_down(p0, h, w, pad_px)
+            planes = (p0, p1) + carry_img.pyramid[2:]
+        else:
+            planes = (p0,) + carry_img.pyramid[1:]
+        return LKImage(planes, carry_img.ix, carry_img.iy,
+                       carry_img.shapes, carry_img.pad)
+
     def step(state, left_t1, right_t1):
-        lk_l1 = prep_image(left_t1, config)
-        lk_r1 = prep_image(right_t1, config)
+        if stage in sub_stages:
+            lk_l1 = partial_prep(left_t1, state.lk_l0)
+            lk_r1 = partial_prep(right_t1, state.lk_r0)
+        else:
+            lk_l1 = prep_image(left_t1, config)
+            lk_r1 = prep_image(right_t1, config)
         feats = state.features
         zero_out = StepOutput(
             T_inv=jnp.eye(4, dtype=jnp.float32),
@@ -67,7 +107,7 @@ def make_prefix_scan(config, intrinsics, stage: str, chunk: int):
             tvec=jnp.zeros(3, jnp.float32), num_inliers=jnp.int32(0),
             num_matched=jnp.int32(0), num_bucketed=jnp.int32(0),
         )
-        if stage != "pyr":
+        if stage not in sub_stages + ("pyr",):
             pad = state.lk_l0.pad
             h, w = state.lk_l0.shapes[0]
             raw_l0 = jax.lax.dynamic_slice(
@@ -126,7 +166,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--height", type=int, default=376)
     ap.add_argument("--width", type=int, default=1241)
-    ap.add_argument("--out", default="ROOFLINE_r03.json")
+    ap.add_argument("--out", default="ROOFLINE_r04.json")
     args = ap.parse_args()
 
     import jax
@@ -143,7 +183,8 @@ def main():
     n_chunks = len(lefts) // args.chunk
 
     stage_ms = {}
-    for stage in ("pyr", "detect", "lk", "full"):
+    for stage in ("noop", "cast", "pad", "pyr1", "pyr", "detect", "lk",
+                  "full"):
         scan = make_prefix_scan(cfg, intr, stage, args.chunk)
         state = init_vo_state(cfg, intr, frames[0][0], frames[0][1])
         dl = [jax.device_put(lefts[i * args.chunk:(i + 1) * args.chunk])
@@ -172,7 +213,17 @@ def main():
         "tri_pnp_gate_ms": stage_ms["full"] - stage_ms["lk"],
         "full_ms": stage_ms["full"],
     }
+    pyr_split = {
+        "scan_floor_ms": stage_ms["noop"],
+        "cast_aligned_write_ms": stage_ms["cast"] - stage_ms["noop"],
+        "reflect_pad_extra_ms": stage_ms["pad"] - stage_ms["cast"],
+        "pyrdown_level1_ms": stage_ms["pyr1"] - stage_ms["pad"],
+        "pyrdown_levels23_ms": stage_ms["pyr"] - stage_ms["pyr1"],
+        "pyramids_total_ms": stage_ms["pyr"],
+    }
     print(json.dumps({k: round(v, 2) for k, v in split.items()}))
+    print("pyramid sub-split:",
+          json.dumps({k: round(v, 2) for k, v in pyr_split.items()}))
 
     # ---- analytic LK-quad speed-of-light --------------------------------
     # Per feature, per level, per solver iteration (lk_pallas._legs_kernel):
@@ -213,6 +264,8 @@ def main():
                    "chunk": args.chunk,
                    "stage_split_ms": {k: round(v, 3)
                                       for k, v in split.items()},
+                   "pyramid_sub_split_ms": {k: round(v, 3)
+                                            for k, v in pyr_split.items()},
                    "lk_roofline": roofline}, f, indent=2)
     print(f"wrote {args.out}")
 

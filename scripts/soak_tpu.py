@@ -1,0 +1,179 @@
+"""KITTI-size on-chip long-haul soak: >= 1,000 streamed frames with
+checkpointing, drift-rate gates, and uploader attribution.
+
+VERDICT.md round-3 missing #1 / next #1: the reference's driver loops to
+9,000 frames (src/main.cpp:123) while round 3's longest on-chip validated
+run was 161 frames, and the streamed-path FPS carried no bottleneck
+attribution. This script runs the 1,025-frame "long" course (1.28 km,
+1241x376) through the production path — run_sequence_scan_resumable:
+streamed decode+upload on a background thread, chunk-boundary snapshots —
+in TWO invocations (kill at mid-course, resume from the snapshot) so the
+artifact also witnesses on-chip resume.
+
+Gates (recorded as booleans in SOAK_r04.json):
+  - accept_ratio >= 0.9 over all frames;
+  - devkit drift RATE per quarter-course (each quarter re-anchored at its
+    own start) <= 1.0 % — round-3 KITTI-size t_err was 0.09-0.29 %, so
+    this catches a 3x degradation while tolerating course hardness;
+  - no drift growth: quarter 4 <= 1.5 x max(quarter 1, 0.2 %);
+  - tracking health: last-300-frame match count >= 70 % of first-300.
+
+Also writes the full devkit artifact set (per-length error tables +
+tl/rl/ts/rs plot data + path plots) to artifacts/soak_r04/ — the first
+time segment lengths 200..800 m produce numbers (round-3 weak #2).
+
+Run on the TPU:  python scripts/soak_tpu.py
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+class _ArraySeq:
+    """Random-access sequence over preloaded (N, H, W) stacks."""
+
+    def __init__(self, lefts, rights):
+        self._l = lefts
+        self._r = rights
+
+    def __len__(self):
+        return len(self._l)
+
+    def frame(self, i):
+        return self._l[i], self._r[i]
+
+
+def quarter_drift(gt, poses):
+    from visual_odom_tpu.eval.kitti_eval import evaluate_sequence
+
+    q = len(gt) // 4
+    t_errs = []
+    for i in range(4):
+        a, b = i * q, (i + 1) * q
+        ga = np.linalg.inv(gt[a]) @ gt[a:b]
+        pa = np.linalg.inv(poses[a]) @ poses[a:b]
+        t_errs.append(float(evaluate_sequence(ga, pa)["t_err_pct"]))
+    return t_errs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=1025)
+    ap.add_argument("--height", type=int, default=376)
+    ap.add_argument("--width", type=int, default=1241)
+    ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument("--checkpoint-every", type=int, default=256)
+    ap.add_argument("--out", default="SOAK_r04.json")
+    ap.add_argument("--artifacts", default="artifacts/soak_r04")
+    args = ap.parse_args()
+
+    from bench import enable_compile_cache, render_course
+
+    enable_compile_cache()
+
+    from visual_odom_tpu.config import VOConfig
+    from visual_odom_tpu.eval.kitti_eval import evaluate_sequence
+    from visual_odom_tpu.runner.pipeline import run_sequence_scan_resumable
+
+    frames, gt, intr = render_course("long", args.frames, args.height,
+                                     args.width)
+    lefts = np.stack([f[0] for f in frames])
+    rights = np.stack([f[1] for f in frames])
+    del frames
+    seq = _ArraySeq(lefts, rights)
+    cfg = VOConfig.for_image(args.height, args.width)
+
+    import os
+    import tempfile
+
+    ck = os.path.join(tempfile.mkdtemp(prefix="vo_soak_"), "soak.npz")
+
+    # Phase 1: run to mid-course and stop — the "kill". The last snapshot
+    # lands at the last checkpoint boundary before the cut.
+    mid = (args.frames // 2 // args.chunk) * args.chunk + 1
+    t0 = time.time()
+    _, _, wall1, done1 = run_sequence_scan_resumable(
+        seq, cfg, intr, checkpoint_path=ck,
+        checkpoint_every=args.checkpoint_every, chunk=args.chunk,
+        max_frames=mid)
+    print(f"phase 1: {done1} steps in {wall1:.1f}s "
+          f"({done1 / wall1:.1f} FPS)", flush=True)
+
+    # Phase 2: resume from the snapshot and stream to the end, instrumented.
+    stats = {}
+    poses, fetched, wall2, done2 = run_sequence_scan_resumable(
+        seq, cfg, intr, checkpoint_path=ck,
+        checkpoint_every=args.checkpoint_every, chunk=args.chunk,
+        stats_out=stats)
+    n_steps = len(fetched.accept)
+    fps2 = done2 / wall2 if wall2 else 0.0
+    print(f"phase 2: resumed, {done2} steps in {wall2:.1f}s "
+          f"({fps2:.1f} FPS streamed)", flush=True)
+
+    accept = float(np.mean(fetched.accept))
+    score = evaluate_sequence(gt, poses[: len(gt)])
+    t_quarters = quarter_drift(gt, poses[: len(gt)])
+    early = float(np.mean(fetched.num_matched[:300]))
+    late = float(np.mean(fetched.num_matched[-300:]))
+    course_len = float(np.sum(np.linalg.norm(
+        np.diff(gt[:, :3, 3], axis=0), axis=1)))
+
+    gates = {
+        "accept_ok": accept >= 0.9,
+        "drift_rate_ok": all(t <= 1.0 for t in t_quarters),
+        "no_drift_growth": t_quarters[3] <= 1.5 * max(t_quarters[0], 0.2),
+        "tracking_health_ok": late >= 0.7 * early,
+    }
+
+    from visual_odom_tpu.eval.devkit import eval_sequence_artifacts
+
+    errors = eval_sequence_artifacts(gt, poses[: len(gt)], args.artifacts,
+                                     seq_name="soak_long")
+    lengths_with_data = sorted({int(e.length) for e in errors})
+
+    out = {
+        "what": "1,025-frame 1.28 km KITTI-size streamed soak through "
+                "run_sequence_scan_resumable (kill at mid-course + resume "
+                "from chunk-boundary snapshot), real TPU chip",
+        "image": f"{args.width}x{args.height}",
+        "frames": int(n_steps) + 1,
+        "course_len_m": round(course_len, 1),
+        "chunk": args.chunk,
+        "checkpoint_every": args.checkpoint_every,
+        "phase1_steps": int(done1),
+        "phase2_resumed_steps": int(done2),
+        "fps_streamed_phase2": round(fps2, 2),
+        "upload": {
+            "mb_s": round(stats.get("upload_mb_s", 0.0), 1),
+            "busy_frac": round(stats.get("busy_frac", 0.0), 3),
+            "upload_s": round(stats.get("upload_s", 0.0), 2),
+            "decode_s": round(stats.get("decode_s", 0.0), 2),
+            "thread_wall_s": round(stats.get("thread_wall_s", 0.0), 2),
+        },
+        "accept_ratio": round(accept, 4),
+        "ate_rmse_m": round(float(score["ate_rmse_m"]), 3),
+        "t_err_pct": round(float(score["t_err_pct"]), 4),
+        "r_err_deg_per_m": round(float(score["r_err_deg_per_m"]), 5),
+        "t_err_pct_quarters": [round(t, 4) for t in t_quarters],
+        "matched_early_mean": round(early, 1),
+        "matched_late_mean": round(late, 1),
+        "devkit_lengths_with_data_m": lengths_with_data,
+        "num_segments": len(errors),
+        "gates": gates,
+        "ok": all(gates.values()),
+        "wall_s_total": round(time.time() - t0, 1),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    print(f"wrote {args.out} + devkit artifacts in {args.artifacts}/")
+
+
+if __name__ == "__main__":
+    main()

@@ -66,6 +66,12 @@ import os as _os
 _FEATURE_BLOCK = int(_os.environ.get("VO_LK_FEATURE_BLOCK", "64"))
 _GROUP = int(_os.environ.get("VO_LK_GROUP", "4"))  # features per merged
 # while_loop (ILP interleave); env knobs are for perf experiments only.
+# VO_LK_PACKED=1: lane-pack the group's J windows into one (rows, 128)
+# array per iteration so bilinear/diff/dot serve _GROUP features per
+# vector op instead of wasting 107/128 lanes per (21, 21) patch — the
+# round-3 PERF_NOTES "next headroom" hypothesis, kept as a measured
+# experiment (see PERF_NOTES round 4 for the verdict).
+_PACKED = _os.environ.get("VO_LK_PACKED", "0") == "1"
 
 # Scharr taps, matching ops/pyramid.py (_SCHARR_SMOOTH, _SCHARR_DIFF).
 _SM0, _SM1, _SM2 = 3.0 / 16.0, 10.0 / 16.0, 3.0 / 16.0
@@ -373,9 +379,117 @@ def _legs_kernel(params: LKParams, shapes: tuple, pad: int, n_imgs: int,
             inv_D = 1.0 / jnp.where(D == 0.0, 1.0, D)
             return (templ, gx, gy, A11, A12, A22, inv_D, level_ok)
 
+        def solve_level_packed(J_ref, level, finest, setups, inits):
+            """Lane-packed group iteration (VO_LK_PACKED=1): the _GROUP
+            J-windows ride one (32, 128) array — 32 lanes per feature — so
+            the bilinear/diff chain runs once per iteration instead of
+            _GROUP times. Loads + rolls stay per-feature (they cannot
+            amortize: each feature's window has its own dynamic position).
+            Numerically identical per element; only the dot-reduction
+            order differs (float-level)."""
+            rows, cols, Hp, Wp = make_dims(level)
+            seg = 128 // _GROUP                       # lanes per feature
+
+            def pack_patches(ps):
+                return jnp.concatenate(
+                    [jnp.concatenate(
+                        [p, jnp.zeros((win, seg - win), jnp.float32)],
+                        axis=1) for p in ps], axis=1)  # (win, 128)
+
+            templ_p = pack_patches([s[0] for s in setups])
+            gx_p = pack_patches([s[1] for s in setups])
+            gy_p = pack_patches([s[2] for s in setups])
+            lane_grp = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // seg
+
+            def lanevec(vals):
+                acc = jnp.zeros((1, 128), jnp.float32) + vals[0]
+                for i in range(1, _GROUP):
+                    acc = jnp.where(lane_grp == i, vals[i], acc)
+                return acc
+
+            def iter_cond(state):
+                j = state[0]
+                actives = [state[1 + i][4] for i in range(_GROUP)]
+                any_active = actives[0]
+                for aflag in actives[1:]:
+                    any_active = any_active | aflag
+                return any_active & (j < params.max_iters)
+
+            def iter_body(state):
+                j = state[0]
+                fstates = [state[1 + i] for i in range(_GROUP)]
+                geos = []
+                wnds = []
+                for i in range(_GROUP):
+                    nx, ny = fstates[i][0], fstates[i][1]
+                    jfx = jnp.floor(nx)
+                    jfy = jnp.floor(ny)
+                    aa = nx - jfx
+                    bb = ny - jfy
+                    jx = jfx.astype(jnp.int32)
+                    jy = jfy.astype(jnp.int32)
+                    in_b = ((jx >= -win) & (jx < cols) & (jy >= -win)
+                            & (jy < rows))
+                    ty = jnp.clip(jy + pad, 0, Hp - w1)
+                    tx = jnp.clip(jx + pad, 0, Wp - w1)
+                    wnds.append(load_block(J_ref, ty, tx)[:, :seg])
+                    geos.append((aa, bb, in_b))
+                wnd = jnp.concatenate(wnds, axis=1)        # (32, 128)
+                cs = pltpu.roll(wnd, 127, axis=1)          # col c -> c+1
+                aav = lanevec([g[0] for g in geos])
+                bbv = lanevec([g[1] for g in geos])
+                w00 = (1.0 - aav) * (1.0 - bbv)
+                w01 = aav * (1.0 - bbv)
+                w10 = (1.0 - aav) * bbv
+                w11 = aav * bbv
+                patch = (w00 * wnd[:win, :] + w01 * cs[:win, :]
+                         + w10 * wnd[1:w1, :] + w11 * cs[1:w1, :])
+                # Junk lanes (cols >= win per segment, incl. the roll's
+                # segment-crossing lane) carry in-bounds image garbage;
+                # gx_p/gy_p are zero there so the dots never see it.
+                diff = patch - templ_p
+                s1 = jnp.sum(diff * gx_p, axis=0, keepdims=True)
+                s2 = jnp.sum(diff * gy_p, axis=0, keepdims=True)
+                new = []
+                for i in range(_GROUP):
+                    (_, _, _, A11, A12, A22, inv_D, level_ok) = setups[i]
+                    nx, ny, pdx, pdy, active, ok0 = fstates[i]
+                    aa, bb, in_b = geos[i]
+                    b1 = jnp.sum(s1[:, i * seg:(i + 1) * seg])
+                    b2 = jnp.sum(s2[:, i * seg:(i + 1) * seg])
+                    dx = (A12 * b2 - A22 * b1) * inv_D
+                    dy = (A12 * b1 - A11 * b2) * inv_D
+                    nnx = nx + dx
+                    nny = ny + dy
+                    converged = dx * dx + dy * dy <= eps2
+                    flip = ((j > 0) & (jnp.abs(dx + pdx) < 0.01)
+                            & (jnp.abs(dy + pdy) < 0.01))
+                    nnx = jnp.where(flip, nnx - dx * 0.5, nnx)
+                    nny = jnp.where(flip, nny - dy * 0.5, nny)
+                    stop = converged | flip | ~in_b
+                    live = active
+                    ok0 = ok0 & (in_b | (not finest) | ~live)
+                    new.append((jnp.where(in_b & live, nnx, nx),
+                                jnp.where(in_b & live, nny, ny),
+                                jnp.where(live, dx, pdx),
+                                jnp.where(live, dy, pdy),
+                                live & ~stop, ok0))
+                return (j + 1,) + tuple(new)
+
+            init = (jnp.int32(0),) + tuple(
+                (inits[i][0], inits[i][1], jnp.float32(0.0),
+                 jnp.float32(0.0), setups[i][7], True)
+                for i in range(_GROUP))
+            result = jax.lax.while_loop(iter_cond, iter_body, init)
+            return [result[1 + i] for i in range(_GROUP)]
+
         def solve_level(J_ref, level, finest, setups, inits):
             """Group-interleaved bounded while_loop — the _level_kernel
             iteration verbatim, with (I, J) refs bound per (leg, level)."""
+            if _PACKED and _GROUP * (128 // _GROUP) == 128 and w1 <= 32 \
+                    and 128 // _GROUP >= w1:
+                return solve_level_packed(J_ref, level, finest, setups,
+                                          inits)
             rows, cols, Hp, Wp = make_dims(level)
 
             def iter_cond(state):
