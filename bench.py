@@ -336,7 +336,11 @@ def main():
         if i == 0:
             fps = c_fps  # headline = first (straight) course
 
-    frames0, _, _ = render_course(courses[0], num_frames, args.height,
+    # bench_lk is a fixed-content kernel-throughput metric: always the
+    # straight course (its 0.7 survivor floor is calibrated there; the
+    # endurance courses' 1.25 m/frame near-field flow legitimately fails
+    # more near-ground tracks).
+    frames0, _, _ = render_course("straight", num_frames, args.height,
                                   args.width)
     lk_pairs, lk_survivors = bench_lk(512, args.height, args.width,
                                       iters=5 if args.quick else 20,
