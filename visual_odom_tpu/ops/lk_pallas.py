@@ -379,26 +379,107 @@ def _legs_kernel(params: LKParams, shapes: tuple, pad: int, n_imgs: int,
             inv_D = 1.0 / jnp.where(D == 0.0, 1.0, D)
             return (templ, gx, gy, A11, A12, A22, inv_D, level_ok)
 
-        def solve_level_packed(J_ref, level, finest, setups, inits):
+        def template_setup_packed(I_ref, level, pxs, pys, vss):
+            """Packed twin of template_setup: the _GROUP template blocks
+            ride one (32, 128) array (seg = 128/_GROUP lanes per feature,
+            concatenated as raw offset-free block slices — Mosaic cannot
+            concatenate the offset-layout (21, 21) patches directly), and
+            the Scharr + bilinear pipelines run ONCE on the packed array
+            with per-feature weights broadcast into their lane segments.
+            Column shifts become static lane rolls; junk lanes (cols >=
+            win per segment, incl. roll-crossed neighbors) are zeroed by
+            the segment mask before the spectral sums.
+
+            Returns (templ_p, gx_p, gy_p masked (win, 128) arrays,
+            per-feature scalar tuples [(A11, A12, A22, inv_D, level_ok,
+            a, b)])."""
+            rows, cols, Hp, Wp = make_dims(level)
+            seg = 128 // _GROUP
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            lane_grp = lane // seg
+            seg_mask = ((lane % seg) < win).astype(jnp.float32)
+
+            def lanevec(vals):
+                acc = jnp.zeros((1, 128), jnp.float32) + vals[0]
+                for i in range(1, _GROUP):
+                    acc = jnp.where(lane_grp == i, vals[i], acc)
+                return acc
+
+            geos = []
+            blks = []
+            for i in range(_GROUP):
+                px, py = pxs[i], pys[i]
+                fx = jnp.floor(px)
+                fy = jnp.floor(py)
+                a = px - fx
+                b = py - fy
+                ix = fx.astype(jnp.int32)
+                iy = fy.astype(jnp.int32)
+                t_ok = ((ix >= -win) & (ix < cols) & (iy >= -win)
+                        & (iy < rows))
+                sy = jnp.clip(iy + pad, 1, Hp - w1 - 1)
+                sx = jnp.clip(ix + pad, 1, Wp - w1 - 1)
+                blks.append(load_block(I_ref, sy - 1, sx - 1)[:, :seg])
+                geos.append((a, b, t_ok))
+            B = jnp.concatenate(blks, axis=1)          # (32, 128)
+            l1 = pltpu.roll(B, 127, axis=1)            # col c -> c+1
+            # Scharr row pass (rows as in the unpacked code), columns via
+            # static lane rolls.
+            smr = (B[0:w1, :] * _SM0 + B[1:w1 + 1, :] * _SM1
+                   + B[2:w1 + 2, :] * _SM2)            # (22, 128)
+            smr2 = pltpu.roll(smr, 126, axis=1)        # col c -> c+2
+            wIx = smr * _DF0 + smr2 * _DF2
+            dfr = B[0:w1, :] * _DF0 + B[2:w1 + 2, :] * _DF2
+            dfr1 = pltpu.roll(dfr, 127, axis=1)
+            dfr2 = pltpu.roll(dfr, 126, axis=1)
+            wIy = dfr * _SM0 + dfr1 * _SM1 + dfr2 * _SM2
+            wI = l1[1:1 + w1, :]                       # col j = block j+1
+
+            aav = lanevec([g[0] for g in geos])
+            bbv = lanevec([g[1] for g in geos])
+            w00 = (1.0 - aav) * (1.0 - bbv)
+            w01 = aav * (1.0 - bbv)
+            w10 = (1.0 - aav) * bbv
+            w11 = aav * bbv
+
+            def bilinear_p(wnd):
+                csn = pltpu.roll(wnd, 127, axis=1)
+                return (w00 * wnd[:win, :] + w01 * csn[:win, :]
+                        + w10 * wnd[1:w1, :] + w11 * csn[1:w1, :])
+
+            templ_p = bilinear_p(wI) * seg_mask
+            gx_p = bilinear_p(wIx) * seg_mask
+            gy_p = bilinear_p(wIy) * seg_mask
+            sxx = jnp.sum(gx_p * gx_p, axis=0, keepdims=True)
+            sxy = jnp.sum(gx_p * gy_p, axis=0, keepdims=True)
+            syy = jnp.sum(gy_p * gy_p, axis=0, keepdims=True)
+            scalars = []
+            for i in range(_GROUP):
+                A11 = jnp.sum(sxx[:, i * seg:(i + 1) * seg])
+                A12 = jnp.sum(sxy[:, i * seg:(i + 1) * seg])
+                A22 = jnp.sum(syy[:, i * seg:(i + 1) * seg])
+                D = A11 * A22 - A12 * A12
+                min_eig = (A22 + A11
+                           - jnp.sqrt((A11 - A22) ** 2 + 4.0 * A12 * A12)
+                           ) / (2.0 * win_area * 1024.0)
+                spectral_ok = ((min_eig >= params.min_eig_threshold)
+                               & (D >= d_eps))
+                level_ok = geos[i][2] & spectral_ok & vss[i]
+                inv_D = 1.0 / jnp.where(D == 0.0, 1.0, D)
+                scalars.append((A11, A12, A22, inv_D, level_ok))
+            return templ_p, gx_p, gy_p, scalars
+
+        def solve_level_packed(J_ref, level, finest, packed, inits):
             """Lane-packed group iteration (VO_LK_PACKED=1): the _GROUP
-            J-windows ride one (32, 128) array — 32 lanes per feature — so
-            the bilinear/diff chain runs once per iteration instead of
+            J-windows ride one (32, 128) array — seg lanes per feature —
+            so the bilinear/diff chain runs once per iteration instead of
             _GROUP times. Loads + rolls stay per-feature (they cannot
             amortize: each feature's window has its own dynamic position).
-            Numerically identical per element; only the dot-reduction
-            order differs (float-level)."""
+            Same arithmetic per element; only the dot-reduction order
+            differs (float-level)."""
             rows, cols, Hp, Wp = make_dims(level)
             seg = 128 // _GROUP                       # lanes per feature
-
-            def pack_patches(ps):
-                return jnp.concatenate(
-                    [jnp.concatenate(
-                        [p, jnp.zeros((win, seg - win), jnp.float32)],
-                        axis=1) for p in ps], axis=1)  # (win, 128)
-
-            templ_p = pack_patches([s[0] for s in setups])
-            gx_p = pack_patches([s[1] for s in setups])
-            gy_p = pack_patches([s[2] for s in setups])
+            templ_p, gx_p, gy_p, scalars = packed
             lane_grp = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // seg
 
             def lanevec(vals):
@@ -452,7 +533,7 @@ def _legs_kernel(params: LKParams, shapes: tuple, pad: int, n_imgs: int,
                 s2 = jnp.sum(diff * gy_p, axis=0, keepdims=True)
                 new = []
                 for i in range(_GROUP):
-                    (_, _, _, A11, A12, A22, inv_D, level_ok) = setups[i]
+                    (A11, A12, A22, inv_D, level_ok) = scalars[i]
                     nx, ny, pdx, pdy, active, ok0 = fstates[i]
                     aa, bb, in_b = geos[i]
                     b1 = jnp.sum(s1[:, i * seg:(i + 1) * seg])
@@ -478,7 +559,7 @@ def _legs_kernel(params: LKParams, shapes: tuple, pad: int, n_imgs: int,
 
             init = (jnp.int32(0),) + tuple(
                 (inits[i][0], inits[i][1], jnp.float32(0.0),
-                 jnp.float32(0.0), setups[i][7], True)
+                 jnp.float32(0.0), scalars[i][4], True)
                 for i in range(_GROUP))
             result = jax.lax.while_loop(iter_cond, iter_body, init)
             return [result[1 + i] for i in range(_GROUP)]
@@ -486,10 +567,6 @@ def _legs_kernel(params: LKParams, shapes: tuple, pad: int, n_imgs: int,
         def solve_level(J_ref, level, finest, setups, inits):
             """Group-interleaved bounded while_loop — the _level_kernel
             iteration verbatim, with (I, J) refs bound per (leg, level)."""
-            if _PACKED and _GROUP * (128 // _GROUP) == 128 and w1 <= 32 \
-                    and 128 // _GROUP >= w1:
-                return solve_level_packed(J_ref, level, finest, setups,
-                                          inits)
             rows, cols, Hp, Wp = make_dims(level)
 
             def iter_cond(state):
@@ -592,6 +669,8 @@ def _legs_kernel(params: LKParams, shapes: tuple, pad: int, n_imgs: int,
                 ny = [(safe_y[i] + sgn * sdy[i]) / (2.0 ** L)
                       for i in range(_GROUP)]
                 ok_leg = [jnp.bool_(True) for _ in range(_GROUP)]
+                use_packed = (_PACKED and 128 % _GROUP == 0
+                              and 128 // _GROUP >= w1 + 2)
                 for level in range(L, -1, -1):
                     scale = 2.0 ** level
                     prev = [(safe_x[i] / scale - half, safe_y[i] / scale - half)
@@ -601,13 +680,24 @@ def _legs_kernel(params: LKParams, shapes: tuple, pad: int, n_imgs: int,
                         ny = [v * 2.0 for v in ny]
                     inits = [(nx[i] - half, ny[i] - half)
                              for i in range(_GROUP)]
-                    setups = [template_setup(img_refs[i_img][level], level,
-                                             prev[i][0], prev[i][1], vs[i])
-                              for i in range(_GROUP)]
-                    results = solve_level(img_refs[j_img][level], level,
-                                          level == 0, setups, inits)
+                    if use_packed:
+                        packed = template_setup_packed(
+                            img_refs[i_img][level], level,
+                            [p[0] for p in prev], [p[1] for p in prev], vs)
+                        results = solve_level_packed(
+                            img_refs[j_img][level], level, level == 0,
+                            packed, inits)
+                        level_oks = [packed[3][i][4] for i in range(_GROUP)]
+                    else:
+                        setups = [template_setup(img_refs[i_img][level],
+                                                 level, prev[i][0],
+                                                 prev[i][1], vs[i])
+                                  for i in range(_GROUP)]
+                        results = solve_level(img_refs[j_img][level], level,
+                                              level == 0, setups, inits)
+                        level_oks = [setups[i][7] for i in range(_GROUP)]
                     for i in range(_GROUP):
-                        level_ok = setups[i][7]
+                        level_ok = level_oks[i]
                         rx, ry, ok0 = (results[i][0], results[i][1],
                                        results[i][5])
                         out_x = jnp.where(level_ok, rx, inits[i][0])
