@@ -35,6 +35,10 @@ import numpy as np
 
 _COURSE_CACHE = os.environ.get("VO_COURSE_CACHE", "/tmp/vo_course_cache")
 
+#: extra VOConfig overrides applied to every benched course (set from CLI
+#: flags in main; perf experiments only — defaults are the reference config)
+_EXTRA_CFG: dict = {}
+
 
 def enable_compile_cache():
     """Persist XLA/Mosaic executables across bench processes. Compiles over
@@ -111,7 +115,7 @@ def bench_course(name: str, num_frames: int, height: int, width: int,
     from visual_odom_tpu.runner.pipeline import run_sequence_scan
 
     frames, gt, intr = render_course(name, num_frames, height, width)
-    cfg = VOConfig.for_image(height, width)
+    cfg = VOConfig.for_image(height, width, **_EXTRA_CFG)
 
     best_fps = 0.0
     stream_fps = None
@@ -309,9 +313,13 @@ def main():
                          "see COURSE_FRAMES)")
     ap.add_argument("--chunk", type=int, default=64,
                     help="scan chunk size (frames per device dispatch)")
+    ap.add_argument("--lk-seed-skip-levels", type=int, default=0,
+                    help="VOConfig.lk_seed_skip_levels override")
     args = ap.parse_args()
 
     enable_compile_cache()
+    if args.lk_seed_skip_levels:
+        _EXTRA_CFG["lk_seed_skip_levels"] = args.lk_seed_skip_levels
     num_frames = args.frames or (65 if args.quick else 161)
     if args.quick and args.courses == ap.get_default("courses"):
         # quick mode keeps the 3-course gauntlet; the km-scale endurance

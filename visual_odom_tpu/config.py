@@ -190,6 +190,18 @@ class VOConfig:
     # Same converged minima, roughly half the solver iterations; the
     # circular-closure check still validates every track. ---
     predictive_seeding: bool = True
+    # Coarse pyramid levels to SKIP when seeding is on: the priors already
+    # absorb the large displacement the coarse levels exist for, so the
+    # refinement starts at level (lk_levels - lk_seed_skip_levels). Tracks
+    # whose prior was wrong fail the closure check and are replenished
+    # (accuracy is gated by the bench gauntlet). 0 = all levels (the
+    # reference's behavior). Default 2, measured on the real chip (round
+    # 4): 115.9 -> 175.7 FPS on the straight course, 202 FPS over the
+    # 1.28 km endurance course, accuracy green on all five gauntlet
+    # courses and BETTER on turning/stress (the coarse levels were
+    # occasionally dragging ambiguous tracks to wrong minima that the
+    # prior-seeded fine levels avoid).
+    lk_seed_skip_levels: int = 2
 
     def __post_init__(self):
         if self.detector not in ("fast", "shi-tomasi"):

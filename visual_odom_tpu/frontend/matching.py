@@ -45,7 +45,7 @@ class CircularMatchResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("params", "circle_threshold", "backend",
-                                   "seeding"))
+                                   "seeding", "seed_start_level"))
 def circular_match(
     img_l0: LKImage,
     img_r0: LKImage,
@@ -56,6 +56,7 @@ def circular_match(
     circle_threshold: float = 0.0,
     backend: str = "xla",
     seeding: bool = True,
+    seed_start_level: int = None,
 ) -> CircularMatchResult:
     """Track the bucketed features around the quad and filter.
 
@@ -76,6 +77,9 @@ def circular_match(
     """
     pts_l0 = bucketed.points
     valid_in = bucketed.valid
+    # Coarse-level skip is only sound when the priors actually seed the
+    # legs (config.lk_seed_skip_levels; see ops/lk.py start_level).
+    sl = seed_start_level if seeding else None
 
     if seeding:
         # Clamp the priors: a corrupted carry must degrade to a bad seed
@@ -97,9 +101,9 @@ def circular_match(
 
         pts_r0, pts_r1, pts_l1, pts_ret, legs_ok = lk_circular_quad_pallas(
             img_l0, img_r0, img_r1, img_l1, pts_l0, valid_in, params,
-            flow=flow, disp=disp)
+            flow=flow, disp=disp, start_level=sl)
     else:
-        track = partial(lk_track_pyramid, params=params)
+        track = partial(lk_track_pyramid, params=params, start_level=sl)
         pts_r0, s0 = track(img_l0, img_r0, pts_l0, valid_in,
                            init_pts=pts_l0 + disp)
         pts_r1, s1 = track(img_r0, img_r1, pts_r0, valid_in,

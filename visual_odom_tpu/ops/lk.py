@@ -138,11 +138,17 @@ def _bilinear_patch(window: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray, w: int)
 
 
 def _track_feature(image_I: LKImage, image_J: LKImage, pt0: jnp.ndarray,
-                   params: LKParams, init0: jnp.ndarray = None):
+                   params: LKParams, init0: jnp.ndarray = None,
+                   start_level: int = None):
     """Track a single feature through the pyramid. Returns (pt1, status).
 
     ``init0`` (level-0 coords) seeds the solution estimate (OpenCV's
     OPTFLOW_USE_INITIAL_FLOW); default = pt0 (identity flow).
+
+    ``start_level`` (default params.levels) starts the coarse-to-fine
+    refinement below the pyramid top: with a good motion-prior ``init0``
+    the coarse levels' job (absorbing large displacement) is already done,
+    so seeded callers can skip them (config.lk_seed_skip_levels).
 
     Written for vmap over the feature axis; every branch is masked so the
     batched version is a single fused while_loop per level.
@@ -158,9 +164,11 @@ def _track_feature(image_I: LKImage, image_J: LKImage, pt0: jnp.ndarray,
     status = jnp.bool_(True)
     if init0 is None:
         init0 = pt0
-    next_pt = init0 / (2.0 ** params.levels)  # estimate at the top level
+    if start_level is None:
+        start_level = params.levels
+    next_pt = init0 / (2.0 ** start_level)  # estimate at the start level
 
-    for level in range(params.levels, -1, -1):
+    for level in range(start_level, -1, -1):
         rows, cols = image_I.shapes[level]
         I = image_I.pyramid[level]
         Ix = image_I.ix[level]
@@ -168,7 +176,7 @@ def _track_feature(image_I: LKImage, image_J: LKImage, pt0: jnp.ndarray,
         J = image_J.pyramid[level]
 
         prev_pt = pt0 / (2.0 ** level) - half
-        if level != params.levels:
+        if level != start_level:
             next_pt = next_pt * 2.0
         next_pt = next_pt - half
 
@@ -262,7 +270,7 @@ def _track_feature(image_I: LKImage, image_J: LKImage, pt0: jnp.ndarray,
     return next_pt, status
 
 
-@partial(jax.jit, static_argnames=("params",))
+@partial(jax.jit, static_argnames=("params", "start_level"))
 def lk_track_pyramid(
     image_I: LKImage,
     image_J: LKImage,
@@ -270,6 +278,7 @@ def lk_track_pyramid(
     valid: jnp.ndarray,
     params: LKParams = LKParams(),
     init_pts: jnp.ndarray = None,
+    start_level: int = None,
 ):
     """Track N features from image I to image J.
 
@@ -295,7 +304,8 @@ def lk_track_pyramid(
     else:
         init = jnp.where(valid[:, None], init_pts, center)
     track = jax.vmap(
-        lambda p, i0: _track_feature(image_I, image_J, p, params, i0))
+        lambda p, i0: _track_feature(image_I, image_J, p, params, i0,
+                                     start_level))
     pts1, status = track(safe_pts, init)
     pts1 = jnp.where(valid[:, None], pts1, pts)
     status = status & valid

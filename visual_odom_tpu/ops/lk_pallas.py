@@ -288,7 +288,8 @@ def _build_level_call(params: LKParams, rows: int, cols: int, pad: int,
 
 
 def _legs_kernel(params: LKParams, shapes: tuple, pad: int, n_imgs: int,
-                 leg_pairs: tuple, leg_seeds: tuple):
+                 leg_pairs: tuple, leg_seeds: tuple,
+                 start_level: int = None):
     """One kernel for a CHAIN of LK legs x all pyramid levels, per feature
     group. The circular quad (L0->R0->R1->L1->L0, reference
     src/feature.cpp:136-139) runs as two 2-leg chains: all planes of one
@@ -311,14 +312,18 @@ def _legs_kernel(params: LKParams, shapes: tuple, pad: int, n_imgs: int,
     d_eps = 1.19209e-07 * (1024.0 ** 2)
     half = (win - 1) * 0.5
     L = params.levels
+    # Coarse-to-fine starts at SL (config.lk_seed_skip_levels): with motion
+    # priors seeding every leg, the skipped coarse levels' displacement-
+    # absorbing job is already done; their planes are not even staged.
+    SL = L if start_level is None else start_level
     rows0, cols0 = shapes[0]
     cx0, cy0 = cols0 * 0.5, rows0 * 0.5
     n_legs = len(leg_pairs)
 
     def kernel(pts_ref, valid_ref, flow_ref, disp_ref, *refs):
-        img_refs = [[refs[im * (L + 1) + lv] for lv in range(L + 1)]
+        img_refs = [[refs[im * (SL + 1) + lv] for lv in range(SL + 1)]
                     for im in range(n_imgs)]
-        out_refs = refs[n_imgs * (L + 1):]   # n_legs x (fb, 2) + (fb, 1) ok
+        out_refs = refs[n_imgs * (SL + 1):]  # n_legs x (fb, 2) + (fb, 1) ok
 
         def make_dims(level):
             rows, cols = shapes[level]
@@ -664,18 +669,18 @@ def _legs_kernel(params: LKParams, shapes: tuple, pad: int, n_imgs: int,
                 safe_x = [jnp.where(vs[i], cxs[i], cx0) for i in range(_GROUP)]
                 safe_y = [jnp.where(vs[i], cys[i], cy0) for i in range(_GROUP)]
                 sdx, sdy, sgn = leg_seed[leg]
-                nx = [(safe_x[i] + sgn * sdx[i]) / (2.0 ** L)
+                nx = [(safe_x[i] + sgn * sdx[i]) / (2.0 ** SL)
                       for i in range(_GROUP)]
-                ny = [(safe_y[i] + sgn * sdy[i]) / (2.0 ** L)
+                ny = [(safe_y[i] + sgn * sdy[i]) / (2.0 ** SL)
                       for i in range(_GROUP)]
                 ok_leg = [jnp.bool_(True) for _ in range(_GROUP)]
                 use_packed = (_PACKED and 128 % _GROUP == 0
                               and 128 // _GROUP >= w1 + 2)
-                for level in range(L, -1, -1):
+                for level in range(SL, -1, -1):
                     scale = 2.0 ** level
                     prev = [(safe_x[i] / scale - half, safe_y[i] / scale - half)
                             for i in range(_GROUP)]
-                    if level != L:
+                    if level != SL:
                         nx = [v * 2.0 for v in nx]
                         ny = [v * 2.0 for v in ny]
                     inits = [(nx[i] - half, ny[i] - half)
@@ -733,14 +738,16 @@ def _legs_kernel(params: LKParams, shapes: tuple, pad: int, n_imgs: int,
 @functools.lru_cache(maxsize=None)
 def _build_legs_call(params: LKParams, shapes: tuple, pad: int, n: int,
                      interpret: bool, n_imgs: int, leg_pairs: tuple,
-                     leg_seeds: tuple):
-    kernel = _legs_kernel(params, shapes, pad, n_imgs, leg_pairs, leg_seeds)
+                     leg_seeds: tuple, start_level: int = None):
+    sl = params.levels if start_level is None else start_level
+    kernel = _legs_kernel(params, shapes, pad, n_imgs, leg_pairs, leg_seeds,
+                          start_level)
     fb = min(_FEATURE_BLOCK, n)
     grid = (pl.cdiv(n, fb),)
     img_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     feat_in = pl.BlockSpec((fb, 2), lambda i: (i, 0), memory_space=pltpu.SMEM)
     mask_in = pl.BlockSpec((fb, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
-    n_planes = n_imgs * (params.levels + 1)
+    n_planes = n_imgs * (sl + 1)
     n_legs = len(leg_pairs)
     pts_out = pl.BlockSpec((fb, 2), lambda i: (i, 0),
                            memory_space=pltpu.SMEM)
@@ -759,7 +766,8 @@ def _build_legs_call(params: LKParams, shapes: tuple, pad: int, n: int,
 @functools.lru_cache(maxsize=None)
 def _build_legs_call_batched(params: LKParams, shapes: tuple, pad: int,
                              n: int, interpret: bool, n_imgs: int,
-                             leg_pairs: tuple, leg_seeds: tuple, B: int):
+                             leg_pairs: tuple, leg_seeds: tuple, B: int,
+                             start_level: int = None):
     """Batch-gridded twin of _build_legs_call: grid (B, feature_blocks),
     every operand carrying a leading batch dim selected by the first grid
     index. One instance's image planes are VMEM-resident at a time (same
@@ -768,7 +776,9 @@ def _build_legs_call_batched(params: LKParams, shapes: tuple, pad: int,
     pallas_call batching rule blocks the IMAGE operands on the batch axis
     with (8,128)-illegal block shapes at 1241x376 (VERDICT round-2 missing
     #3); the custom_vmap rule on the chain dispatches here instead."""
-    kernel = _legs_kernel(params, shapes, pad, n_imgs, leg_pairs, leg_seeds)
+    sl = params.levels if start_level is None else start_level
+    kernel = _legs_kernel(params, shapes, pad, n_imgs, leg_pairs, leg_seeds,
+                          start_level)
 
     fb = min(_FEATURE_BLOCK, n)
     grid = (B, pl.cdiv(n, fb))
@@ -778,7 +788,7 @@ def _build_legs_call_batched(params: LKParams, shapes: tuple, pad: int,
 
     n_planes_shapes = []
     for im in range(n_imgs):
-        for lv in range(params.levels + 1):
+        for lv in range(sl + 1):
             rows, cols = shapes[lv]
             n_planes_shapes.append((aligned_extent(rows, pad, 0),
                                     aligned_extent(cols, pad, 1)))
@@ -805,13 +815,14 @@ def _build_legs_call_batched(params: LKParams, shapes: tuple, pad: int,
 
 @functools.lru_cache(maxsize=None)
 def _legs_chain(params: LKParams, shapes: tuple, pad: int, n: int,
-                interpret: bool, leg_seeds: tuple):
+                interpret: bool, leg_seeds: tuple,
+                start_level: int = None):
     """One 2-leg chain as a custom_vmap'd callable: unbatched calls use the
     feature-block grid; vmapped calls (the data-parallel batched step,
     parallel/batch.py) hit the batch-gridded kernel."""
     leg_pairs = ((0, 1), (1, 2))
     call = _build_legs_call(params, shapes, pad, n, interpret, 3,
-                            leg_pairs, leg_seeds)
+                            leg_pairs, leg_seeds, start_level)
 
     @jax.custom_batching.custom_vmap
     def chain(pts, valid_i, flow, disp, *planes):
@@ -821,7 +832,8 @@ def _legs_chain(params: LKParams, shapes: tuple, pad: int, n: int,
     def _chain_vmap(axis_size, in_batched, pts, valid_i, flow, disp,
                     *planes):
         bcall = _build_legs_call_batched(params, shapes, pad, n, interpret,
-                                         3, leg_pairs, leg_seeds, axis_size)
+                                         3, leg_pairs, leg_seeds, axis_size,
+                                         start_level)
         args = []
         for a, ib in zip((pts, valid_i, flow, disp) + planes, in_batched):
             args.append(a if ib else jnp.broadcast_to(
@@ -832,7 +844,8 @@ def _legs_chain(params: LKParams, shapes: tuple, pad: int, n: int,
     return chain
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+@functools.partial(jax.jit, static_argnames=("params", "interpret",
+                                             "start_level"))
 def lk_circular_quad_pallas(
     img_l0: LKImage,
     img_r0: LKImage,
@@ -844,6 +857,7 @@ def lk_circular_quad_pallas(
     interpret: bool = False,
     flow: jnp.ndarray = None,
     disp: jnp.ndarray = None,
+    start_level: int = None,
 ):
     """Whole circular quad in two fused kernel launches.
 
@@ -869,20 +883,21 @@ def lk_circular_quad_pallas(
     if disp is None:
         disp = jnp.zeros((n, 2), jnp.float32)
 
+    sl = params.levels if start_level is None else start_level
+
     def planes_of(*imgs):
-        return [im.pyramid[lv] for im in imgs
-                for lv in range(params.levels + 1)]
+        return [im.pyramid[lv] for im in imgs for lv in range(sl + 1)]
 
     # Two 2-leg chains (VMEM budget: 3 images resident per kernel). The
     # chains are custom_vmap'd: under vmap (batched DP step) they lower to
     # the batch-gridded kernel instead of the illegal auto-batching rule.
     chain_a = _legs_chain(params, shapes, img_l0.pad, n, interpret,
-                          ((0, 1.0), (1, 1.0)))
+                          ((0, 1.0), (1, 1.0)), start_level)
     r0, r1, ok_a = chain_a(pts, valid_i, flow, disp,
                            *planes_of(img_l0, img_r0, img_r1))
     r1m = jnp.where(valid[:, None], r1, pts)
     chain_b = _legs_chain(params, shapes, img_l0.pad, n, interpret,
-                          ((0, -1.0), (1, -1.0)))
+                          ((0, -1.0), (1, -1.0)), start_level)
     l1, ret, ok_b = chain_b(r1m, valid_i, flow, disp,
                             *planes_of(img_r1, img_l1, img_l0))
     ok = ok_a & ok_b

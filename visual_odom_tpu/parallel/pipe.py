@@ -89,7 +89,10 @@ def run_sequence_pipelined(
         bucketed = detect_and_bucket(raw_l0, feats, config)
         match = circular_match(lk_l0, lk_r0, lk_l1, lk_r1, bucketed,
                                params, config.circle_threshold, lk_backend,
-                               seeding=config.predictive_seeding)
+                               seeding=config.predictive_seeding,
+                               seed_start_level=(
+                                   config.lk_levels - config.lk_seed_skip_levels
+                                   if config.lk_seed_skip_levels else None))
         packet = jnp.concatenate(
             [match.points_l0, match.points_r0, match.points_l1,
              match.valid[:, None].astype(jnp.float32)], axis=1)

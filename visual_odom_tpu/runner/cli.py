@@ -39,6 +39,7 @@ _CONFIG_FLAGS = [
     ("lk-iters", "lk_max_iters", int),
     ("lk-eps", "lk_eps", float),
     ("lk-min-eig", "lk_min_eig_threshold", float),
+    ("lk-seed-skip-levels", "lk_seed_skip_levels", int),
     ("circle-threshold", "circle_threshold", float),
     ("ransac-iters", "ransac_iterations", int),
     ("ransac-reproj", "ransac_reproj_threshold", float),

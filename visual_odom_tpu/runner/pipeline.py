@@ -125,6 +125,9 @@ def make_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
             state.lk_l0, state.lk_r0, lk_l1, lk_r1, bucketed,
             params, config.circle_threshold, lk_backend,
             seeding=config.predictive_seeding,
+            seed_start_level=(
+                config.lk_levels - config.lk_seed_skip_levels
+                if config.lk_seed_skip_levels else None),
         )
 
         # -- triangulation of t0 stereo pairs -------------------------------
