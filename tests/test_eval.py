@@ -85,3 +85,26 @@ def test_evaluate_sequence_keys():
     out = evaluate_sequence(poses, poses)
     for k in ("t_err_pct", "r_err_deg_per_m", "ate_rmse_m", "rpe_trans_m"):
         assert k in out
+
+
+def test_live_display_offscreen():
+    """LiveDisplay (the reference's imshow windows, guarded for headless
+    hosts) renders per-frame in offscreen mode through run_sequence."""
+    import numpy as np
+
+    from visual_odom_tpu.config import CameraIntrinsics, VOConfig
+    from visual_odom_tpu.eval.plot import LiveDisplay
+    from visual_odom_tpu.io.synthetic import SyntheticStereoSequence
+    from visual_odom_tpu.runner.pipeline import run_sequence
+
+    H, W = 120, 160
+    intr = CameraIntrinsics(fx=120.0, fy=120.0, cx=W / 2, cy=H / 2,
+                            bf=-120.0 * 0.54, width=W, height=H)
+    cfg = VOConfig.for_image(H, W, ransac_iterations=100)
+    seq = SyntheticStereoSequence(intr, num_frames=4, seed=0, speed=0.5)
+    live = LiveDisplay(poses_gt=seq.poses, offscreen=True)
+    poses, results = run_sequence(seq, cfg, intr, live=live)
+    assert live.frames_shown == 3
+    assert live.canvas.any()                      # GT + estimate drawn
+    assert live.last_tracks_vis is not None
+    assert live.last_tracks_vis.shape == (H, W, 3)

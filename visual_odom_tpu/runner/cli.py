@@ -187,6 +187,15 @@ def _cmd_run(args) -> int:
             verbose=not args.quiet,
         )
     else:
+        live = None
+        if args.live:
+            from visual_odom_tpu.eval.plot import LiveDisplay
+
+            try:
+                live = LiveDisplay(poses_gt=gt)
+            except RuntimeError as e:
+                print(e)
+                return 1
         out = run_sequence(
             frames,
             cfg,
@@ -197,6 +206,7 @@ def _cmd_run(args) -> int:
             tracks_dir=args.tracks_dir,
             tracks_every=args.tracks_every,
             collect_tracks=bool(args.ba_window),
+            live=live,
         )
         if args.ba_window:
             from visual_odom_tpu.ba.window import smooth_trajectory_ba
@@ -375,6 +385,10 @@ def main(argv=None) -> int:
     pr.add_argument("--checkpoint-every", type=int, default=100,
                     help="snapshot interval in frames (rounded up to a "
                          "chunk multiple on the fast path)")
+    pr.add_argument("--live", action="store_true",
+                    help="interactive trajectory + tracking windows "
+                         "(needs a display server; reference "
+                         "src/utils.cpp:19-48 imshow behavior)")
     pr.add_argument("--tracks-dir",
                     help="write displayTracking-style overlay PNGs here")
     pr.add_argument("--tracks-every", type=int, default=50)

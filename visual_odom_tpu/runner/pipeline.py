@@ -978,6 +978,7 @@ def run_sequence(
     tracks_dir: Optional[str] = None,
     tracks_every: int = 50,
     collect_tracks: bool = False,
+    live=None,
 ):
     """Run VO over an iterable of (left, right) frames.
 
@@ -986,14 +987,16 @@ def run_sequence(
     (reference src/visualOdometry.cpp:195-224) every ``tracks_every`` frames.
     With ``collect_tracks``, also returns the per-frame TrackSnapshots
     (numpy) as a third element — the input to windowed-BA smoothing
-    (ba/window.py).
+    (ba/window.py). ``live`` (an eval.plot.LiveDisplay) mirrors the
+    reference's interactive trajectory/tracking windows per frame.
     """
     from visual_odom_tpu.utils.metrics import MetricsLogger
 
     it = iter(frames)
     left0, right0 = next(it)
     vo = VisualOdometry(config, intrinsics, seed=seed,
-                        with_tracks=bool(tracks_dir) or collect_tracks)
+                        with_tracks=bool(tracks_dir) or collect_tracks
+                        or live is not None)
     vo.initialize(left0, right0)
     if tracks_dir:
         import os as _os
@@ -1017,6 +1020,8 @@ def run_sequence(
         results.append(r)
         if collect_tracks:
             snapshots.append(vo.last_tracks)
+        if live is not None:
+            live.update(r.pose, np.asarray(left), vo.last_tracks)
         if tracks_dir and (r.frame_id % tracks_every == 0
                            or r.frame_id == 1):
             from visual_odom_tpu.eval.plot import render_tracks, save_png
@@ -1039,6 +1044,8 @@ def run_sequence(
         writer.close()
     if logger:
         logger.close()
+    if live is not None:
+        live.close()
     if collect_tracks:
         return np.asarray(poses), results, snapshots
     return np.asarray(poses), results
