@@ -36,17 +36,22 @@ import numpy as np
 
 
 class _ArraySeq:
-    """Random-access sequence over preloaded (N, H, W) stacks."""
+    """Random-access sequence over preloaded (N, H, W) stacks, optionally
+    repeated ``laps`` times. Lap boundaries teleport the camera back along
+    the same corridor; per-lap re-anchored scoring makes the repetition a
+    valid continuous-operation soak (see finish_laps)."""
 
-    def __init__(self, lefts, rights):
+    def __init__(self, lefts, rights, laps: int = 1):
         self._l = lefts
         self._r = rights
+        self._laps = laps
 
     def __len__(self):
-        return len(self._l)
+        return len(self._l) * self._laps
 
     def frame(self, i):
-        return self._l[i], self._r[i]
+        j = i % len(self._l)
+        return self._l[j], self._r[j]
 
 
 def quarter_drift(gt, poses):
@@ -62,6 +67,98 @@ def quarter_drift(gt, poses):
     return t_errs
 
 
+def finish_laps(args, gt, poses, fetched, stats, done1, done2, wall2, t0):
+    """Multi-lap scoring: each lap is scored re-anchored at its first
+    accepted post-seam frame, so the artifact measures whether a long
+    continuously-running tracker degrades — pushing the evidence toward
+    the reference driver's 9,000-frame loop (src/main.cpp:123) without
+    rendering kilometers more imagery. Seam behavior is recorded as a
+    diagnostic (see the comment at seam_steps)."""
+    import json
+    import time
+
+    import numpy as np
+
+    from visual_odom_tpu.eval.kitti_eval import evaluate_sequence
+
+    F = args.frames
+    n_steps = len(fetched.accept)
+    accept = np.asarray(fetched.accept)
+    matched = np.asarray(fetched.num_matched)
+
+    # Seam diagnostics (recorded; gated only when --min-inliers is set):
+    # measured WITHOUT the floor, the long-course seams — genuine
+    # near-scene-cuts (snake end -> start) — are ACCEPTED on a ~1-inlier
+    # consensus that slips past the reference's rotation+scale gates.
+    # That measurement is the motivation for the beyond-reference
+    # VOConfig.min_accept_inliers floor; with --min-inliers set the same
+    # seams must be rejected and this run gates on it.
+    seam_steps = [k * F for k in range(1, args.laps)]
+    seam_accepted = [bool(accept[s - 1]) for s in seam_steps]
+    seam_inliers = [int(np.asarray(fetched.num_inliers)[s - 1])
+                    for s in seam_steps]
+    mask = np.ones(n_steps, bool)
+    for s in seam_steps:
+        mask[max(0, s - 4): s + 3] = False
+    accept_clean = float(accept[mask].mean())
+
+    lap_t_errs = []
+    for k in range(args.laps):
+        a = k * F + (3 if k else 0)     # skip the re-acquisition frames
+        while a < min((k + 1) * F, n_steps) and not accept[a - 1 if a else 0]:
+            a += 1
+        b = min((k + 1) * F, n_steps + 1)
+        if b - a < 200:
+            continue
+        est = np.linalg.inv(poses[a]) @ poses[a:b]
+        g = np.linalg.inv(gt[a % F]) @ gt[a % F: a % F + (b - a)]
+        lap_t_errs.append(round(float(
+            evaluate_sequence(g, est)["t_err_pct"]), 4))
+
+    gates = {
+        "accept_ok": accept_clean >= 0.97,
+        **({"seams_rejected_by_inlier_floor": not any(seam_accepted)}
+           if args.min_inliers else {}),
+        "lap_drift_ok": all(t <= 1.0 for t in lap_t_errs),
+        "no_lap_drift_growth": (lap_t_errs[-1]
+                                <= 1.5 * max(lap_t_errs[0], 0.2)),
+        "tracking_health_ok": (float(matched[-300:].mean())
+                               >= 0.7 * float(matched[:300].mean())),
+    }
+    out = {
+        "what": f"{n_steps + 1}-frame ({args.laps} laps x {F}) KITTI-size "
+                "streamed soak with checkpointed kill+resume; per-lap "
+                "re-anchored drift scoring, seam behavior recorded",
+        "image": f"{args.width}x{args.height}",
+        "frames": int(n_steps) + 1,
+        "laps": args.laps,
+        "course_len_m_per_lap": round(float(np.sum(np.linalg.norm(
+            np.diff(gt[:, :3, 3], axis=0), axis=1))), 1),
+        "phase1_steps": int(done1),
+        "phase2_resumed_steps": int(done2),
+        "fps_streamed_phase2": round(done2 / wall2, 2) if wall2 else 0.0,
+        "upload": {
+            "mb_s": round(stats.get("upload_mb_s", 0.0), 1),
+            "busy_frac": round(stats.get("busy_frac", 0.0), 3),
+        },
+        "min_accept_inliers": args.min_inliers,
+        "accept_ratio_excl_seams": round(accept_clean, 4),
+        "seam_steps": seam_steps,
+        "seam_accepted": seam_accepted,
+        "seam_inliers": seam_inliers,
+        "lap_t_err_pct": lap_t_errs,
+        "matched_early_mean": round(float(matched[:300].mean()), 1),
+        "matched_late_mean": round(float(matched[-300:].mean()), 1),
+        "gates": gates,
+        "ok": all(gates.values()),
+        "wall_s_total": round(time.time() - t0, 1),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    print(f"wrote {args.out}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=1025)
@@ -69,6 +166,13 @@ def main():
     ap.add_argument("--width", type=int, default=1241)
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--checkpoint-every", type=int, default=256)
+    ap.add_argument("--min-inliers", type=int, default=0,
+                    help="VOConfig.min_accept_inliers (beyond-reference "
+                         "scene-cut floor; 0 = reference gate semantics)")
+    ap.add_argument("--laps", type=int, default=1,
+                    help="repeat the course N times (lap seams are "
+                         "teleports the gate must reject + recover from; "
+                         "each lap is scored re-anchored)")
     ap.add_argument("--out", default="SOAK_r04.json")
     ap.add_argument("--artifacts", default="artifacts/soak_r04")
     args = ap.parse_args()
@@ -86,8 +190,9 @@ def main():
     lefts = np.stack([f[0] for f in frames])
     rights = np.stack([f[1] for f in frames])
     del frames
-    seq = _ArraySeq(lefts, rights)
-    cfg = VOConfig.for_image(args.height, args.width)
+    seq = _ArraySeq(lefts, rights, laps=args.laps)
+    cfg = VOConfig.for_image(args.height, args.width,
+                             min_accept_inliers=args.min_inliers)
 
     import os
     import tempfile
@@ -96,7 +201,8 @@ def main():
 
     # Phase 1: run to mid-course and stop — the "kill". The last snapshot
     # lands at the last checkpoint boundary before the cut.
-    mid = (args.frames // 2 // args.chunk) * args.chunk + 1
+    n_total = args.frames * args.laps
+    mid = (n_total // 2 // args.chunk) * args.chunk + 1
     t0 = time.time()
     _, _, wall1, done1 = run_sequence_scan_resumable(
         seq, cfg, intr, checkpoint_path=ck,
@@ -115,6 +221,10 @@ def main():
     fps2 = done2 / wall2 if wall2 else 0.0
     print(f"phase 2: resumed, {done2} steps in {wall2:.1f}s "
           f"({fps2:.1f} FPS streamed)", flush=True)
+
+    if args.laps > 1:
+        return finish_laps(args, gt, poses, fetched, stats, done1, done2,
+                           wall2, t0)
 
     accept = float(np.mean(fetched.accept))
     score = evaluate_sequence(gt, poses[: len(gt)])

@@ -245,3 +245,36 @@ def test_shi_tomasi_detector_tracks_sequence():
 def test_unknown_detector_rejected():
     with pytest.raises(ValueError, match="detector"):
         VOConfig.for_image(H, W, detector="orb")
+
+
+def test_min_inlier_gate_rejects_scene_cut():
+    """Beyond-reference failure detection (VOConfig.min_accept_inliers):
+    a hard scene cut (lap-seam teleport) passes the reference's
+    rotation+scale gates on a near-empty consensus — measured in the
+    round-4 multi-lap soak — but the inlier floor rejects it; default 0
+    preserves reference semantics (cut accepted)."""
+    from visual_odom_tpu.runner.pipeline import run_sequence_scan
+
+    intr = CameraIntrinsics(
+        fx=120.0, fy=120.0, cx=W / 2, cy=H / 2, bf=-120.0 * 0.54,
+        width=W, height=H,
+    )
+    seq = SyntheticStereoSequence(intr, num_frames=12, seed=0, speed=0.5)
+    seq2 = SyntheticStereoSequence(intr, num_frames=12, seed=7, speed=0.5)
+    # A REAL scene cut: different procedural world (re-rolled textures).
+    # (Teleporting within the SAME corridor is not a cut — the tracker
+    # legitimately matches it and estimates the jump; measured.)
+    cut = list(seq) + list(seq2)
+
+    accepts = {}
+    for floor in (0, 30):
+        cfg = VOConfig.for_image(H, W, ransac_iterations=100,
+                                 min_accept_inliers=floor)
+        poses, fetched, _, _ = run_sequence_scan(iter(cut), cfg, intr,
+                                                 chunk=4)
+        accepts[floor] = np.asarray(fetched.accept)
+    seam_step = 11                 # step consuming the teleported frame
+    assert not accepts[30][seam_step]          # floor detects the cut
+    # away from the seam both configs behave identically
+    assert accepts[30][:10].all() and accepts[30][14:22].all()
+    np.testing.assert_array_equal(accepts[0][:10], accepts[30][:10])

@@ -172,6 +172,13 @@ class VOConfig:
     max_rotation_rad: float = 0.1
     min_scale: float = 0.05
     max_scale: float = 10.0
+    # Beyond-reference failure detection: also require >= this many PnP
+    # inliers to accept a frame. The reference's gates (rotation + scale)
+    # are blind to scene cuts / total tracking loss — a teleport can
+    # produce a small-motion consensus of ~nothing that passes both
+    # (measured in the round-4 multi-lap soak; the reference would accept
+    # it too). 0 = reference semantics (default).
+    min_accept_inliers: int = 0
 
     # --- TPU capacity knobs (no reference counterpart: fixed-shape design) ---
     # Max tracked features through LK = padded bucket-cell count.

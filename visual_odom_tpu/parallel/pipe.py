@@ -139,11 +139,14 @@ def run_sequence_pipelined(
             key = key2
 
         gate = gate_and_integrate(rvec_out, pnp.tvec)
+        accept = gate.accept
+        if config.min_accept_inliers > 0:
+            accept = accept & (pnp.num_inliers >= config.min_accept_inliers)
         warm = jnp.where(
-            gate.accept & jnp.bool_(config.use_extrinsic_guess),
+            accept & jnp.bool_(config.use_extrinsic_guess),
             pnp.tvec, jnp.zeros(3, jnp.float32))
         out = StepOutput(
-            T_inv=gate.T_inv, accept=gate.accept, scale=gate.scale,
+            T_inv=gate.T_inv, accept=accept, scale=gate.scale,
             euler=gate.euler, rvec=rvec_out, tvec=pnp.tvec,
             num_inliers=pnp.num_inliers,
             num_matched=jnp.sum(valid).astype(jnp.int32),

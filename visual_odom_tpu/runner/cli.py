@@ -47,6 +47,7 @@ _CONFIG_FLAGS = [
     ("max-rotation", "max_rotation_rad", float),
     ("min-scale", "min_scale", float),
     ("max-scale", "max_scale", float),
+    ("min-accept-inliers", "min_accept_inliers", int),
     ("lk-backend", "lk_backend", str),
 ]
 

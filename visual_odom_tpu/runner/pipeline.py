@@ -171,6 +171,12 @@ def make_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
 
         # -- gating ----------------------------------------------------------
         gate = gate_and_integrate(rvec_out, pnp.tvec)
+        accept = gate.accept
+        if config.min_accept_inliers > 0:
+            # Beyond-reference scene-cut / tracking-loss detection: the
+            # rotation+scale gates can accept a near-empty consensus
+            # (config.min_accept_inliers docstring).
+            accept = accept & (pnp.num_inliers >= config.min_accept_inliers)
 
         # Warm start for the next frame's PnP. Only an ACCEPTED solution may
         # seed the next solve: feeding a diverged (gate-rejected) tvec back
@@ -178,7 +184,7 @@ def make_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
         # (the reference persists `translation` unconditionally,
         # src/main.cpp:81-82 — a latent bug it never hits on KITTI;
         # deliberately fixed per SURVEY.md fidelity ledger).
-        warm = jnp.where(gate.accept & jnp.bool_(config.use_extrinsic_guess),
+        warm = jnp.where(accept & jnp.bool_(config.use_extrinsic_guess),
                          pnp.tvec, jnp.zeros(3, jnp.float32))
         new_state = VOState(
             features=commit_tracked_state(match),
@@ -189,7 +195,7 @@ def make_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
         )
         out = StepOutput(
             T_inv=gate.T_inv,
-            accept=gate.accept,
+            accept=accept,
             scale=gate.scale,
             euler=gate.euler,
             rvec=rvec_out,
