@@ -77,15 +77,46 @@ def _sampson_sq(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray
 
 
 def _decompose_and_vote(E, x1, x2, w):
-    """recoverPose: four (R, t) candidates, pick by cheirality vote."""
-    U, _, Vt = jnp.linalg.svd(E)
-    # Enforce proper rotations.
-    U = U * jnp.sign(jnp.linalg.det(U))
-    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
-    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
-    R1 = U @ W @ Vt
-    R2 = U @ W.T @ Vt
-    t = U[:, 2]
+    """recoverPose: four (R, t) candidates, pick by cheirality vote.
+
+    CLOSED FORM, no SVD: a VO essential matrix has sigma1 ~= sigma2 (pure
+    forward motion is the degenerate case exactly), and TPU's iterative
+    f32 SVD returns U/V pairs from that degenerate subspace that are not
+    mutually consistent — measured as clean-looking but bogus 90-degree
+    rolls on straight-course frames (CPU LAPACK never hits it). Instead:
+    t is perpendicular to E's columns (largest column cross-product), and
+    Horn's identity for E = [t]x R with ||t|| = 1, ||E||_F = sqrt(2) gives
+    R = Cof(E) - [t]x E (the twisted mate flips the sign of [t]x E).
+    Noise makes the closed-form R only near-orthogonal; two Newton polar
+    steps orthonormalize it. All products — bitwise stable across
+    platforms."""
+    # Scale to the essential normalization ||E||_F = sqrt(2) (unit t).
+    E = E * (jnp.sqrt(2.0) / jnp.maximum(
+        jnp.linalg.norm(E.reshape(9)), 1e-12))
+    c0, c1, c2 = E[:, 0], E[:, 1], E[:, 2]
+    t_cands = jnp.stack([jnp.cross(c0, c1), jnp.cross(c1, c2),
+                         jnp.cross(c2, c0)])
+    t = t_cands[jnp.argmax(jnp.linalg.norm(t_cands, axis=1))]
+    t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+
+    # Cof(E): rows are cross products of E's row pairs.
+    r0, r1, r2 = E[0], E[1], E[2]
+    cof = jnp.stack([jnp.cross(r1, r2), jnp.cross(r2, r0),
+                     jnp.cross(r0, r1)])
+    tx = jnp.array([[0.0, -t[2], t[1]], [t[2], 0.0, -t[0]],
+                    [-t[1], t[0], 0.0]], E.dtype)
+    txE = jnp.matmul(tx, E, precision=_HI)
+
+    def polar(R):
+        # Two Newton steps toward the nearest rotation (R near-orthogonal).
+        for _ in range(2):
+            RtR = jnp.matmul(R.T, R, precision=_HI)
+            R = jnp.matmul(R, 1.5 * jnp.eye(3, dtype=R.dtype) - 0.5 * RtR,
+                           precision=_HI)
+        return R
+
+    R1 = polar(cof - txE)
+    R2 = polar(cof + txE)
 
     def depths(R, t):
         # Depth signs from the two-view constraint z2*x2h = z1*R*x1h + t:
@@ -140,6 +171,17 @@ def find_essential_ransac(
     ``solver``: "5pt" (Nister minimal solver, the reference's algorithm) or
     "8pt" (linear hypotheses; ``sample_size`` applies to this one).
     """
+    # Scope to highest matmul precision: the eigh/svd internals of the
+    # 8-point polish and recoverPose run bf16 matmuls under TPU defaults
+    # (same measured failure as backend/five_point.py).
+    with jax.default_matmul_precision("highest"):
+        return _find_essential_ransac_hi(
+            pts1, pts2, valid, focal, pp, key, threshold, iterations,
+            sample_size, solver)
+
+
+def _find_essential_ransac_hi(pts1, pts2, valid, focal, pp, key, threshold,
+                              iterations, sample_size, solver):
     x1 = _normalize(pts1.astype(jnp.float32), focal, pp)
     x2 = _normalize(pts2.astype(jnp.float32), focal, pp)
     thr_n = (threshold / focal) ** 2
