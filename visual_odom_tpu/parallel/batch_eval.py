@@ -68,75 +68,40 @@ def run_sequences_batched(
 
     if chunk:
         from visual_odom_tpu.parallel.batch import make_batched_scan_fn
-        import queue as _queue
-        import threading as _threading
+        from visual_odom_tpu.runner.pipeline import _ChunkUploader
 
         scan = make_batched_scan_fn(config, intrinsics, mesh, chunk)
         n_chunks = -(-n_steps // chunk)
 
         def chunk_at(c):
-            # (chunk, B, H, W) stacks; tail repeats the final frame (its
-            # steps are masked out of shorter sequences' chains below).
+            # (chunk, B, H, W) host stacks; tail repeats the final frame
+            # (its steps are masked out of shorter sequences' chains
+            # below). The shared uploader thread does the device_put.
             fr = [stacked(min(1 + c * chunk + j, n_steps))
                   for j in range(chunk)]
-            return (jax.device_put(np.stack([f[0] for f in fr])),
-                    jax.device_put(np.stack([f[1] for f in fr])))
+            return (np.stack([f[0] for f in fr]),
+                    np.stack([f[1] for f in fr]), c)
 
-        q: "_queue.Queue" = _queue.Queue(maxsize=2)
-        err: list = []
-        cancel = _threading.Event()
-
-        def _put(item) -> bool:
-            # Bounded put that gives up when the consumer has died, so an
-            # exception mid-loop can't leave this thread blocked forever
-            # holding decoded chunks (ADVICE r3, same fix as
-            # runner.run_sequence_scan).
-            while not cancel.is_set():
-                try:
-                    q.put(item, timeout=0.2)
-                    return True
-                except _queue.Full:
-                    continue
-            return False
-
-        def uploader():
-            try:
-                for c in range(n_chunks):
-                    if not _put(chunk_at(c)):
-                        return
-            except BaseException as e:
-                err.append(e)
-            finally:
-                _put(None)
-
-        th = _threading.Thread(target=uploader, daemon=True)
-        th.start()
+        up = _ChunkUploader((chunk_at(c) for c in range(n_chunks)),
+                            maxsize=2)
         outs = []
-        # First q.get() BEFORE the timer: the first chunk's decode+upload is
+        # First get() BEFORE the timer: the first chunk's decode+upload is
         # excluded from the measured wall, mirroring run_sequence_scan's
         # pre-timed dl0/dr0 so SCALING_* artifacts compare like for like
         # (ADVICE r3 methodology note).
-        cur = q.get()
+        cur = up.get()
         t0 = time.perf_counter()
         try:
             while cur is not None:
                 state, out = scan(state, cur[0], cur[1])
                 outs.append(out)
-                cur = q.get()
+                cur = up.get()
             jax.block_until_ready(outs[-1].T_inv)
             wall = time.perf_counter() - t0
         except BaseException:
-            cancel.set()
-            try:
-                while True:
-                    q.get_nowait()
-            except _queue.Empty:
-                pass
-            th.join(timeout=30.0)
+            up.cancel()
             raise
-        th.join()
-        if err:
-            raise err[0]
+        up.finish()
         T = np.concatenate([np.asarray(o.T_inv) for o in outs])[:n_steps]
         A = np.concatenate([np.asarray(o.accept) for o in outs])[:n_steps]
         I = np.concatenate([np.asarray(o.num_inliers)

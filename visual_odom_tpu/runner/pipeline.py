@@ -419,6 +419,108 @@ def _frame_chunks(it, chunk: int):
         yield np.stack(lefts), np.stack(rights), n_real
 
 
+
+class _ChunkUploader:
+    """Background decode+upload thread shared by the scan runners.
+
+    Pulls (lefts, rights, n_real) host chunks from an iterator, uploads
+    them (device_put + block_until_ready: over the axon tunnel a
+    same-thread device_put serializes with the dispatch stream and costs
+    ~20 ms/frame; from this thread the transfer genuinely overlaps device
+    compute), and feeds a bounded queue (host RSS stays O(chunk)). A None
+    sentinel terminates the stream.
+
+    - ``cancel()``: if the consumer dies mid-loop the thread must not sit
+      blocked on queue.put forever holding decoded chunks and device
+      buffers (ADVICE r3) — every put is a bounded retry checking the
+      cancellation flag, and cancel() drains the queue and joins.
+    - ``stats_out``: per-thread attribution (decode_s, upload_s,
+      upload_bytes, busy_frac, upload_mb_s — VERDICT r3 weak #1: a
+      streamed-FPS number without these cannot distinguish a tunnel-bound
+      run from a pipeline regression). decode_s covers pulling + stacking
+      frames from the source iterator; upload_s covers device_put through
+      transfer completion; the rest of the thread's wall is backpressure
+      wait (the device is the bottleneck).
+    - ``finish()``: join + re-raise any uploader exception on the caller.
+    """
+
+    def __init__(self, chunks, maxsize: int = 2,
+                 stats_out: Optional[dict] = None):
+        import queue as _queue
+        import threading as _threading
+
+        self.queue: "_queue.Queue" = _queue.Queue(maxsize=maxsize)
+        self._queue_mod = _queue
+        self._chunks = chunks
+        self._err: list = []
+        self._cancel = _threading.Event()
+        self._stats_out = stats_out
+        self._th = _threading.Thread(target=self._run, daemon=True)
+        self._th.start()
+
+    def _put(self, item) -> bool:
+        while not self._cancel.is_set():
+            try:
+                self.queue.put(item, timeout=0.2)
+                return True
+            except self._queue_mod.Full:
+                continue
+        return False
+
+    def _run(self):
+        stats = {"decode_s": 0.0, "upload_s": 0.0, "upload_bytes": 0,
+                 "thread_wall_s": 0.0, "chunks": 0}
+        t_start = time.perf_counter()
+        try:
+            t0 = time.perf_counter()
+            nxt = next(self._chunks, None)
+            stats["decode_s"] += time.perf_counter() - t0
+            while nxt is not None and not self._cancel.is_set():
+                t0 = time.perf_counter()
+                dl = jax.device_put(nxt[0])
+                dr = jax.device_put(nxt[1])
+                jax.block_until_ready((dl, dr))
+                stats["upload_s"] += time.perf_counter() - t0
+                stats["upload_bytes"] += nxt[0].nbytes + nxt[1].nbytes
+                stats["chunks"] += 1
+                if not self._put((dl, dr, nxt[2])):
+                    return
+                t0 = time.perf_counter()
+                nxt = next(self._chunks, None)
+                stats["decode_s"] += time.perf_counter() - t0
+        except BaseException as e:  # surface decode/upload failures
+            self._err.append(e)
+        finally:
+            stats["thread_wall_s"] = time.perf_counter() - t_start
+            if self._stats_out is not None:
+                busy = stats["decode_s"] + stats["upload_s"]
+                self._stats_out.update(stats)
+                self._stats_out["busy_frac"] = (
+                    busy / stats["thread_wall_s"]
+                    if stats["thread_wall_s"] > 0 else 0.0)
+                self._stats_out["upload_mb_s"] = (
+                    stats["upload_bytes"] / 1e6 / stats["upload_s"]
+                    if stats["upload_s"] > 0 else 0.0)
+            self._put(None)
+
+    def get(self):
+        return self.queue.get()
+
+    def cancel(self):
+        self._cancel.set()
+        try:
+            while True:
+                self.queue.get_nowait()
+        except self._queue_mod.Empty:
+            pass
+        self._th.join(timeout=30.0)
+
+    def finish(self):
+        self._th.join()
+        if self._err:
+            raise self._err[0]
+
+
 def run_sequence_scan(
     frames,
     config: VOConfig,
@@ -472,106 +574,24 @@ def run_sequence_scan(
         wstate, wout = scan(wstate, dl0, dr0)
         jax.tree.map(np.asarray, wout)  # full sync incl. program load
 
-    # Decode + upload on a separate thread, bounded to 2 in-flight chunks
-    # (host RSS stays O(chunk)). On the axon tunnel a same-thread
-    # jax.device_put serializes with the dispatch stream and costs ~20
-    # ms/frame of dead time; from another thread the transfer genuinely
-    # overlaps device compute (measured 57.8 -> 104 FPS on the 161-frame
-    # KITTI-size course). Thread exceptions are re-raised on the main
-    # thread after the sentinel.
-    import queue as _queue
-    import threading as _threading
-
     # ``preupload`` trades host memory for timing isolation: every chunk is
     # resident on device before the loop starts, so the measured wall is
     # pure device pipeline throughput (the bench's metric; rounds 1-2
     # quoted the same way). Default (False) is the production path.
-    q: "_queue.Queue" = _queue.Queue(
-        maxsize=1_000_000 if preupload else 2)
-    upload_err: list = []
-    # Cancellation: if the consumer dies mid-loop the uploader must not sit
-    # blocked on q.put forever holding decoded chunks and device buffers
-    # (ADVICE r3: the daemon flag hides the leak at process exit but not in
-    # a long-lived host process).
-    cancel = _threading.Event()
-
-    def _put(item) -> bool:
-        while not cancel.is_set():
-            try:
-                q.put(item, timeout=0.2)
-                return True
-            except _queue.Full:
-                continue
-        return False
-
-    # Uploader-thread attribution (VERDICT.md round-3 weak #1: a streamed-
-    # FPS number with no busy fraction / MB/s cannot distinguish a
-    # tunnel-bound run from a pipeline regression). decode_s covers pulling
-    # + stacking frames from the source iterator; upload_s covers
-    # device_put through transfer completion; the remainder of the thread's
-    # wall is backpressure wait (the device is the bottleneck).
-    stats = {"decode_s": 0.0, "upload_s": 0.0, "upload_bytes": 0,
-             "thread_wall_s": 0.0, "chunks": 0}
-
-    def _uploader():
-        t_start = time.perf_counter()
-        try:
-            t0 = time.perf_counter()
-            nxt = next(chunks, None)
-            stats["decode_s"] += time.perf_counter() - t0
-            while nxt is not None and not cancel.is_set():
-                t0 = time.perf_counter()
-                dl = jax.device_put(nxt[0])
-                dr = jax.device_put(nxt[1])
-                jax.block_until_ready((dl, dr))
-                stats["upload_s"] += time.perf_counter() - t0
-                stats["upload_bytes"] += nxt[0].nbytes + nxt[1].nbytes
-                stats["chunks"] += 1
-                if not _put((dl, dr, nxt[2])):
-                    return
-                t0 = time.perf_counter()
-                nxt = next(chunks, None)
-                stats["decode_s"] += time.perf_counter() - t0
-        except BaseException as e:  # surface decode/upload failures
-            upload_err.append(e)
-        finally:
-            stats["thread_wall_s"] = time.perf_counter() - t_start
-            if stats_out is not None:
-                busy = stats["decode_s"] + stats["upload_s"]
-                stats_out.update(stats)
-                stats_out["busy_frac"] = (
-                    busy / stats["thread_wall_s"]
-                    if stats["thread_wall_s"] > 0 else 0.0)
-                stats_out["upload_mb_s"] = (
-                    stats["upload_bytes"] / 1e6 / stats["upload_s"]
-                    if stats["upload_s"] > 0 else 0.0)
-            _put(None)
-
-    def _cancel_uploader():
-        cancel.set()
-        try:
-            while True:
-                q.get_nowait()
-        except _queue.Empty:
-            pass
-        th.join(timeout=30.0)
-
-    th = _threading.Thread(target=_uploader, daemon=True)
-    th.start()
+    up = _ChunkUploader(chunks, maxsize=1_000_000 if preupload else 2,
+                        stats_out=stats_out)
     if preupload:
-        th.join()
-        if upload_err:
-            raise upload_err[0]
+        up.finish()
         pending = []
         while True:
-            item = q.get()
+            item = up.get()
             if item is None:
                 break
             pending.append(item)
         jax.block_until_ready([x for c in pending for x in c[:2]])
         for item in pending:
-            q.put(item)
-        q.put(None)
+            up.queue.put(item)
+        up.queue.put(None)
 
     try:
         t0 = time.perf_counter()
@@ -583,15 +603,13 @@ def run_sequence_scan(
             state, out = scan(state, dl, dr)   # async dispatch
             outs.append(out)
             n += n_real
-            cur = q.get()
+            cur = up.get()
         final = jax.tree.map(np.asarray, outs[-1])  # sync
         wall = time.perf_counter() - t0
     except BaseException:
-        _cancel_uploader()
+        up.cancel()
         raise
-    th.join()
-    if upload_err:
-        raise upload_err[0]
+    up.finish()
 
     fetched_list = [jax.tree.map(np.asarray, o) for o in outs[:-1]] + [final]
     fetched = jax.tree.map(lambda *xs: np.concatenate(xs)[:n], *fetched_list)
@@ -768,63 +786,9 @@ def run_sequence_scan_resumable(
 
     chunks = _frame_chunks(iter(frame_iter()), chunk)
 
-    import queue as _queue
-    import threading as _threading
-
-    q: "_queue.Queue" = _queue.Queue(maxsize=2)
-    upload_err: list = []
-    cancel = _threading.Event()
-
-    def _put(item) -> bool:
-        while not cancel.is_set():
-            try:
-                q.put(item, timeout=0.2)
-                return True
-            except _queue.Full:
-                continue
-        return False
-
-    # Same uploader attribution as run_sequence_scan (busy fraction + MB/s
-    # into stats_out) — the soak runs through THIS runner, checkpointing on.
-    stats = {"decode_s": 0.0, "upload_s": 0.0, "upload_bytes": 0,
-             "thread_wall_s": 0.0, "chunks": 0}
-
-    def _uploader():
-        t_start = time.perf_counter()
-        try:
-            t0 = time.perf_counter()
-            nxt = next(chunks, None)
-            stats["decode_s"] += time.perf_counter() - t0
-            while nxt is not None and not cancel.is_set():
-                t0 = time.perf_counter()
-                dl = jax.device_put(nxt[0])
-                dr = jax.device_put(nxt[1])
-                jax.block_until_ready((dl, dr))
-                stats["upload_s"] += time.perf_counter() - t0
-                stats["upload_bytes"] += nxt[0].nbytes + nxt[1].nbytes
-                stats["chunks"] += 1
-                if not _put((dl, dr, nxt[2])):
-                    return
-                t0 = time.perf_counter()
-                nxt = next(chunks, None)
-                stats["decode_s"] += time.perf_counter() - t0
-        except BaseException as e:
-            upload_err.append(e)
-        finally:
-            stats["thread_wall_s"] = time.perf_counter() - t_start
-            if stats_out is not None:
-                busy = stats["decode_s"] + stats["upload_s"]
-                stats_out.update(stats)
-                stats_out["busy_frac"] = (
-                    busy / stats["thread_wall_s"]
-                    if stats["thread_wall_s"] > 0 else 0.0)
-                stats_out["upload_mb_s"] = (
-                    stats["upload_bytes"] / 1e6 / stats["upload_s"]
-                    if stats["upload_s"] > 0 else 0.0)
-            _put(None)
-
-    th = _threading.Thread(target=_uploader, daemon=True)
-    th.start()
+    # Shared uploader thread (attribution into stats_out — the soak runs
+    # through THIS runner, checkpointing on).
+    up = _ChunkUploader(chunks, maxsize=2, stats_out=stats_out)
 
     fetched_np: list = []       # numpy StepOutput stacks, one per chunk
     pending: list = []          # device StepOutput stacks not yet fetched
@@ -843,7 +807,7 @@ def run_sequence_scan_resumable(
     t0 = time.perf_counter()
     try:
         full_chunks = 0
-        cur = q.get()
+        cur = up.get()
         while cur is not None:
             dl, dr, n_real = cur
             state, out = scan(state, dl, dr)
@@ -862,21 +826,13 @@ def run_sequence_scan_resumable(
                                          arrays, _all_fetched())
                     if verbose:
                         print(f"checkpoint @ step {steps_done}")
-            cur = q.get()
+            cur = up.get()
         _fetch_pending()
         wall = time.perf_counter() - t0
     except BaseException:
-        cancel.set()
-        try:
-            while True:
-                q.get_nowait()
-        except _queue.Empty:
-            pass
-        th.join(timeout=30.0)
+        up.cancel()
         raise
-    th.join()
-    if upload_err:
-        raise upload_err[0]
+    up.finish()
 
     fetched = _all_fetched()
     processed = steps_done - start_step
