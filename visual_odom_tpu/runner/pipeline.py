@@ -714,9 +714,11 @@ def run_sequence_scan_resumable(
 
     Returns (poses (N+1, 4, 4) f64, fetched StepOutput stack (numpy),
     wall_seconds, frames_processed). The wall covers this invocation's
-    steady-state scan loop (checkpoint fetch+write included — the cost of
-    durability; measured ~ms per snapshot against ~0.5 s per 64-frame
-    chunk).
+    steady-state scan loop, checkpoint fetch+write included — the cost of
+    durability. A snapshot is two packed device->host fetches + one atomic
+    npz write; the round-4 soak ran 1,024 KITTI-size frames with 4
+    snapshots at 34-38 FPS streamed, upload-bound (SOAK_r04.json), so the
+    snapshot cost is in the noise at production checkpoint intervals.
     """
     import os
 
