@@ -85,15 +85,6 @@ def _triple_assignment() -> np.ndarray:
     return A
 
 
-def _constraints(E: jnp.ndarray) -> jnp.ndarray:
-    """The 10 cubic constraint values for one 3x3 E: [det; trace-constraint
-    entries] — evaluated numerically (this is what gets interpolated)."""
-    det = jnp.linalg.det(E)
-    EEt = jnp.matmul(E, E.T, precision=_HI)
-    tc = 2.0 * jnp.matmul(EEt, E, precision=_HI) - jnp.trace(EEt) * E
-    return jnp.concatenate([det[None], tc.reshape(9)])
-
-
 def _polyval(c: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     """Ascending-coefficient polynomial evaluation (Horner)."""
     r = jnp.zeros_like(z) + c[-1]
