@@ -120,7 +120,10 @@ def make_prefix_scan(config, intrinsics, stage: str, chunk: int):
             match = circular_match(
                 state.lk_l0, state.lk_r0, lk_l1, lk_r1, bucketed,
                 params, config.circle_threshold, lk_backend,
-                seeding=config.predictive_seeding)
+                seeding=config.predictive_seeding,
+                seed_start_level=(
+                    config.lk_levels - config.lk_seed_skip_levels
+                    if config.lk_seed_skip_levels else None))
             feats = commit_tracked_state(match)
             zero_out = zero_out._replace(
                 num_matched=jnp.sum(match.valid).astype(jnp.int32))
@@ -247,7 +250,10 @@ def main():
     # 4 legs (2 kernels x 2 legs).
     n_feat = 384
     iters_mean = 6.0
-    levels = 4
+    # levels actually run per leg: the seeded coarse-level skip starts the
+    # refinement at (lk_levels - lk_seed_skip_levels).
+    levels = cfg.lk_levels + 1 - (cfg.lk_seed_skip_levels
+                                  if cfg.predictive_seeding else 0)
     legs = 4
     bytes_per_iter = 32 * 256 * 4
     flops_per_iter = 5300.0
@@ -266,7 +272,7 @@ def main():
         "vpu_bound_ms": round(total_flops / VPU_PEAK * 1000, 4),
         "pct_of_vmem_sol": round(
             100 * (total_bytes / VMEM_BW) / quad_s, 1) if quad_s else None,
-        "assumptions": "384 feats, 4 legs, 4 levels, ~6 iters/level, "
+        "assumptions": f"384 feats, 4 legs, {levels} levels, ~6 iters/level, "
                        "32x256 f32 superblock reload per iter; "
                        "VMEM ~2 TB/s, VPU ~3.9 Tf32op/s (v5e)",
     }
