@@ -313,12 +313,13 @@ def main():
                          "see COURSE_FRAMES)")
     ap.add_argument("--chunk", type=int, default=64,
                     help="scan chunk size (frames per device dispatch)")
-    ap.add_argument("--lk-seed-skip-levels", type=int, default=0,
-                    help="VOConfig.lk_seed_skip_levels override")
+    ap.add_argument("--lk-seed-skip-levels", type=int, default=None,
+                    help="VOConfig.lk_seed_skip_levels override (0 is a "
+                         "valid override: reference all-levels behavior)")
     args = ap.parse_args()
 
     enable_compile_cache()
-    if args.lk_seed_skip_levels:
+    if args.lk_seed_skip_levels is not None:
         _EXTRA_CFG["lk_seed_skip_levels"] = args.lk_seed_skip_levels
     num_frames = args.frames or (65 if args.quick else 161)
     if args.quick and args.courses == ap.get_default("courses"):

@@ -172,3 +172,33 @@ def test_smoothing_noop_without_enough_tracks(vo_run):
             for s in snaps]
     out = smooth_trajectory_ba(dead, poses, intr, window=8)
     np.testing.assert_allclose(out, poses, atol=1e-12)
+
+
+def test_scan_path_track_collection_matches_interactive(vo_run):
+    """VERDICT.md r4 weak #4 done-criterion: the scan fast path emits
+    TrackSnapshots (make_scan_step_fn with_tracks) equivalent to the
+    interactive runner's, and BA smoothing over them improves ATE — BA no
+    longer needs the ~10x slower per-frame runner."""
+    from visual_odom_tpu.runner.pipeline import run_sequence_scan
+
+    seq, intr, poses_i, snaps_i = vo_run
+    cfg = VOConfig.for_image(H, W, ransac_iterations=200)
+    out = run_sequence_scan(list(seq), cfg, intr, chunk=8,
+                            collect_tracks=True)
+    poses_s, fetched, _, _, snaps_s = out
+    n = len(snaps_i)
+    assert len(snaps_s) == n
+    # Same step math, different jit boundary: identical track topology,
+    # near-identical measurements.
+    for a, b in zip(snaps_i, snaps_s):
+        np.testing.assert_array_equal(np.asarray(a.valid),
+                                      np.asarray(b.valid))
+        np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+        v = np.asarray(a.valid)
+        np.testing.assert_allclose(np.asarray(a.points_l1)[v],
+                                   np.asarray(b.points_l1)[v], atol=1e-3)
+    gt = seq.poses[: len(poses_s)]
+    smoothed = smooth_trajectory_ba(snaps_s, poses_s[: n + 1], intr,
+                                    window=8, iterations=8)
+    assert ate_rmse(gt[: n + 1], smoothed) < ate_rmse(
+        gt[: len(poses_s)], poses_s) * 0.9

@@ -8,8 +8,8 @@ surface (header default true, src/visualOdometry.h:42).
 
 Solver choice (``solver=``): the default "5pt" runs RANSAC over Nister's
 5-point minimal solver — the same algorithm OpenCV's findEssentialMat uses —
-in the batched TPU formulation of backend/five_point.py (interpolated
-constraint coefficients + Durand-Kerner roots; up to 10 candidate E per
+in the batched TPU formulation of backend/five_point.py (exact trilinear
+constraint expansion + Durand-Kerner roots; up to 10 candidate E per
 minimal sample, every candidate scored). "8pt" keeps the round-3 linear
 8-point hypothesis pool (hypothesis x 9x9 normal-equation eigenvector).
 Both share the Sampson-distance inlier test, the inlier-set polish, and the

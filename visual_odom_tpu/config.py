@@ -215,6 +215,13 @@ class VOConfig:
             raise ValueError(
                 f"detector must be 'fast' or 'shi-tomasi', got "
                 f"{self.detector!r}")
+        if not 0 <= self.lk_seed_skip_levels <= self.lk_levels:
+            # skip > levels would make seed_start_level negative: the level
+            # loop becomes empty and every track silently "converges" at its
+            # scaled seed (ADVICE r4) — reject the config instead.
+            raise ValueError(
+                f"lk_seed_skip_levels must be in [0, lk_levels="
+                f"{self.lk_levels}], got {self.lk_seed_skip_levels}")
 
     def resolved_lk_backend(self) -> str:
         if self.lk_backend is not None:

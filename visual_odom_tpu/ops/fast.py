@@ -175,7 +175,13 @@ def shi_tomasi_corner_map(
     either detector unchanged (reference featureDetectionGoodFeaturesToTrack,
     src/feature.cpp:49-62: maxCorners=5000, qualityLevel=0.01,
     minDistance=5; the per-cell bucketing downstream enforces a stronger
-    spatial cap than maxCorners ever would)."""
+    spatial cap than maxCorners ever would).
+
+    Approximation vs OpenCV: min-distance suppression is a (2r+1)^2
+    square-window nonmax with ``score >= pooled``, not OpenCV's greedy
+    Euclidean walk — members of an exactly-tied plateau inside one window
+    all survive here. Downstream per-cell top-K bucketing bounds the
+    practical impact to the tie set within one cell."""
     score = shi_tomasi_score_map(img)
     r = int(min_distance)
     pooled = jax.lax.reduce_window(
