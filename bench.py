@@ -204,6 +204,23 @@ def bench_course(name: str, num_frames: int, height: int, width: int,
                 poses[lf][:3, 3] - poses[0][:3, 3])), 3)
             m["loop_closure_gt_m"] = round(float(np.linalg.norm(
                 gt[lf][:3, 3] - gt[0][:3, 3])), 3)
+            # Pose-graph loop closure (runner/loopclosure.py): detect the
+            # revisit from the ESTIMATE, measure the edge with real VO
+            # steps, solve the keyframe graph, redistribute. Reported
+            # alongside the raw chain (the gauntlet gates stay on the raw
+            # trajectory; closure is the VERDICT r4 #4 done-criterion).
+            from visual_odom_tpu.runner.loopclosure import close_loops
+
+            pg_poses, info = close_loops(
+                poses[: len(gt)], lambda i: frames[i], cfg, intr,
+                gt_loop_pair=(0, lf))
+            m["loop_edges"] = info.edges
+            if info.edges:
+                m["loop_closure_pg_m"] = round(info.closure_after_m, 3)
+                err_pg = np.linalg.norm(
+                    pg_poses[: len(gt), :3, 3] - gt[:, :3, 3], axis=1)
+                m["ate_rmse_pg_m"] = round(
+                    float(np.sqrt(np.mean(err_pg ** 2))), 4)
     return best_fps, m
 
 

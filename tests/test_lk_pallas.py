@@ -125,3 +125,34 @@ def test_vmapped_quad_matches_per_instance():
         outs_1 = quad(*imgs[b], jnp.asarray(pts[b]), jnp.asarray(valid[b]))
         for a, c in zip(outs_v, outs_1):
             np.testing.assert_array_equal(np.asarray(a[b]), np.asarray(c))
+
+
+def test_doublestep_is_bit_exact(tracked_pair):
+    """VO_LK_DOUBLESTEP reuses the loaded J superblock for a second solver
+    update when floor(pt) did not move — by construction the update it
+    applies is exactly the one the next trip would compute from an
+    identical reload, so the quad outputs must be BITWISE equal."""
+    import visual_odom_tpu.ops.lk_pallas as lkp
+
+    li, lj, pts, valid, p = tracked_pair
+    base = lk_circular_quad_pallas(li, lj, lj, li, pts, valid, p,
+                                   interpret=True)
+    old = lkp._DOUBLESTEP
+    lkp._DOUBLESTEP = True
+    # The kernel builders cache on (params, shapes, ...) and the quad
+    # wrapper is jitted — the flag is a module global read at trace time,
+    # so drop BOTH cache layers to force a rebuild (without clear_cache the
+    # second call is a jit-cache hit and never sees the flag).
+    lkp._build_legs_call.cache_clear()
+    lkp._legs_chain.cache_clear()
+    lkp.lk_circular_quad_pallas.clear_cache()
+    try:
+        ds = lk_circular_quad_pallas(li, lj, lj, li, pts, valid, p,
+                                     interpret=True)
+    finally:
+        lkp._DOUBLESTEP = old
+        lkp._build_legs_call.cache_clear()
+        lkp._legs_chain.cache_clear()
+        lkp.lk_circular_quad_pallas.clear_cache()
+    for a, b in zip(base, ds):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

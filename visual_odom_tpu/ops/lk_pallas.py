@@ -72,6 +72,15 @@ _GROUP = int(_os.environ.get("VO_LK_GROUP", "4"))  # features per merged
 # round-3 PERF_NOTES "next headroom" hypothesis, kept as a measured
 # experiment (see PERF_NOTES round 4 for the verdict).
 _PACKED = _os.environ.get("VO_LK_PACKED", "0") == "1"
+# VO_LK_DOUBLESTEP=1: after each solver update, apply a SECOND update
+# reusing the already-loaded-and-rolled J superblock whenever floor(pt)
+# did not move (near convergence it rarely does — the round-4 lazy-reload
+# data). Bit-exact: the second update only applies where a reload would
+# return the identical block, and it is precisely the update the next loop
+# trip would compute; the guard is arithmetic select, not lax.cond (a cond
+# region is a scheduling barrier that serializes the _GROUP interleaved
+# chains — the round-4 lazy-reload dead end).
+_DOUBLESTEP = _os.environ.get("VO_LK_DOUBLESTEP", "0") == "1"
 
 # Scharr taps, matching ops/pyramid.py (_SCHARR_SMOOTH, _SCHARR_DIFF).
 _SM0, _SM1, _SM2 = 3.0 / 16.0, 10.0 / 16.0, 3.0 / 16.0
@@ -571,30 +580,26 @@ def _legs_kernel(params: LKParams, shapes: tuple, pad: int, n_imgs: int,
 
         def solve_level(J_ref, level, finest, setups, inits):
             """Group-interleaved bounded while_loop — the _level_kernel
-            iteration verbatim, with (I, J) refs bound per (leg, level)."""
+            iteration, with (I, J) refs bound per (leg, level).
+
+            The iteration counter is PER FEATURE (ji in the fstate), not the
+            shared trip index: while a feature is live its update count
+            equals the trip count, so (ji > 0) reproduces the original
+            (j > 0) flip guard exactly — and per-feature counting is what
+            lets the _DOUBLESTEP trip apply two updates in one trip."""
             rows, cols, Hp, Wp = make_dims(level)
 
             def iter_cond(state):
-                j = state[0]
-                actives = [state[1 + i][4] for i in range(_GROUP)]
-                any_active = actives[0]
-                for aflag in actives[1:]:
-                    any_active = any_active | aflag
-                return any_active & (j < params.max_iters)
+                any_active = state[0][4]
+                for i in range(1, _GROUP):
+                    any_active = any_active | state[i][4]
+                return any_active
 
-            def one(setup, fstate, j):
+            def substep(setup, fstate, wJ, geo):
+                """One solver update given an in-register J window."""
                 (templ, gx, gy, A11, A12, A22, inv_D, level_ok) = setup
-                nx, ny, pdx, pdy, active, ok0 = fstate
-                jfx = jnp.floor(nx)
-                jfy = jnp.floor(ny)
-                aa = nx - jfx
-                bb = ny - jfy
-                jx = jfx.astype(jnp.int32)
-                jy = jfy.astype(jnp.int32)
-                in_b = (jx >= -win) & (jx < cols) & (jy >= -win) & (jy < rows)
-                ty = jnp.clip(jy + pad, 0, Hp - w1)
-                tx = jnp.clip(jx + pad, 0, Wp - w1)
-                wJ = load_block(J_ref, ty, tx)[:w1, :w1]
+                nx, ny, pdx, pdy, active, ok0, ji = fstate
+                aa, bb, in_b = geo
                 patch = bilinear(wJ, aa, bb)
                 diff = patch - templ
                 b1 = jnp.sum(diff * gx)
@@ -604,7 +609,8 @@ def _legs_kernel(params: LKParams, shapes: tuple, pad: int, n_imgs: int,
                 nnx = nx + dx
                 nny = ny + dy
                 converged = dx * dx + dy * dy <= eps2
-                flip = (j > 0) & (jnp.abs(dx + pdx) < 0.01) & (jnp.abs(dy + pdy) < 0.01)
+                flip = ((ji > 0) & (jnp.abs(dx + pdx) < 0.01)
+                        & (jnp.abs(dy + pdy) < 0.01))
                 nnx = jnp.where(flip, nnx - dx * 0.5, nnx)
                 nny = jnp.where(flip, nny - dy * 0.5, nny)
                 stop = converged | flip | ~in_b
@@ -614,21 +620,46 @@ def _legs_kernel(params: LKParams, shapes: tuple, pad: int, n_imgs: int,
                 out_y = jnp.where(in_b & live, nny, ny)
                 pdx_o = jnp.where(live, dx, pdx)
                 pdy_o = jnp.where(live, dy, pdy)
-                active_o = live & ~stop
-                return (out_x, out_y, pdx_o, pdy_o, active_o, ok0)
+                ji_o = jnp.where(live, ji + 1, ji)
+                active_o = live & ~stop & (ji_o < params.max_iters)
+                return (out_x, out_y, pdx_o, pdy_o, active_o, ok0, ji_o)
+
+            def one_trip(setup, fstate):
+                nx, ny = fstate[0], fstate[1]
+                jfx = jnp.floor(nx)
+                jfy = jnp.floor(ny)
+                jx = jfx.astype(jnp.int32)
+                jy = jfy.astype(jnp.int32)
+                in_b = (jx >= -win) & (jx < cols) & (jy >= -win) & (jy < rows)
+                ty = jnp.clip(jy + pad, 0, Hp - w1)
+                tx = jnp.clip(jx + pad, 0, Wp - w1)
+                wJ = load_block(J_ref, ty, tx)[:w1, :w1]
+                st1 = substep(setup, fstate, wJ, (nx - jfx, ny - jfy, in_b))
+                if not _DOUBLESTEP:
+                    return st1
+                # Second update on the SAME window: applies only where the
+                # integer corner did not move (reload would be identical),
+                # i.e. exactly the next trip's update, one load+2 rolls
+                # earlier.
+                nx2, ny2 = st1[0], st1[1]
+                jfx2 = jnp.floor(nx2)
+                jfy2 = jnp.floor(ny2)
+                same = (jfx2 == jfx) & (jfy2 == jfy)
+                st2 = substep(setup, st1, wJ,
+                              (nx2 - jfx2, ny2 - jfy2, in_b))
+                return tuple(jnp.where(same, b, a)
+                             for a, b in zip(st1, st2))
 
             def iter_body(state):
-                j = state[0]
-                new = tuple(one(setups[i], state[1 + i], j)
-                            for i in range(_GROUP))
-                return (j + 1,) + new
+                return tuple(one_trip(setups[i], state[i])
+                             for i in range(_GROUP))
 
-            init = (jnp.int32(0),) + tuple(
+            init = tuple(
                 (inits[i][0], inits[i][1], jnp.float32(0.0), jnp.float32(0.0),
-                 setups[i][7], True)
+                 setups[i][7], True, jnp.int32(0))
                 for i in range(_GROUP))
             result = jax.lax.while_loop(iter_cond, iter_body, init)
-            return [result[1 + i] for i in range(_GROUP)]
+            return [result[i] for i in range(_GROUP)]
 
         fb = pts_ref.shape[0]
 

@@ -187,6 +187,9 @@ def _cmd_run(args) -> int:
         if not args.quiet and processed:
             print(f"{processed} frames in {wall:.2f}s "
                   f"({processed / wall:.1f} FPS)")
+        if args.loop_close:
+            poses = _apply_loop_close(args, poses, locals().get("kseq")
+                                      or locals().get("seq"), cfg, intr)
         if args.output:
             save_poses_kitti(args.output, poses)
         if args.trajectory_png:
@@ -266,12 +269,37 @@ def _cmd_run(args) -> int:
         else:
             poses, results = out
 
+    if args.loop_close:
+        poses = _apply_loop_close(args, poses, locals().get("kseq")
+                                  or locals().get("seq"), cfg, intr)
     if args.trajectory_png:
         save_png(args.trajectory_png, render_trajectory(poses, gt))
     if gt is not None:
         score = evaluate_sequence(np.asarray(gt), poses)
         print(json.dumps(score, indent=2))
     return 0
+
+
+def _apply_loop_close(args, poses, seq_obj, cfg, intr):
+    """Pose-graph loop closure over a finished run (vo run --loop-close):
+    needs random-access frames to measure the loop edges."""
+    from visual_odom_tpu.runner.loopclosure import close_loops
+
+    if seq_obj is None or not hasattr(seq_obj, "frame"):
+        print("--loop-close needs a random-access sequence "
+              "(KITTI dir or synthetic); skipping")
+        return poses
+    new_poses, info = close_loops(np.asarray(poses), seq_obj.frame, cfg,
+                                  intr)
+    if not args.quiet:
+        print(f"loop closure: {len(info.candidates)} candidates, "
+              f"{len(info.edges)} edges accepted "
+              f"{[(a, b) for (a, b, _) in info.edges]}")
+    if args.output and info.edges:
+        from visual_odom_tpu.io.kitti import save_poses_kitti
+
+        save_poses_kitti(args.output, new_poses)
+    return new_poses if info.edges else poses
 
 
 def _cmd_eval(args) -> int:
@@ -428,6 +456,12 @@ def main(argv=None) -> int:
                     help="shard each BA window's solve over a device ring "
                          "(optionally: number of devices; default all). "
                          "Exact — auto-halo with unsharded fallback.")
+    pr.add_argument("--loop-close", action="store_true",
+                    help="after the run: detect revisits in the estimate, "
+                         "measure loop edges with real VO steps, solve the "
+                         "keyframe pose graph and redistribute the drift "
+                         "(runner/loopclosure.py; needs random-access "
+                         "frames)")
     pr.add_argument("--quiet", action="store_true")
     add_config_flags(pr)
     pr.set_defaults(fn=_cmd_run)

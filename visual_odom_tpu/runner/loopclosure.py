@@ -1,0 +1,220 @@
+"""Loop detection + closure wiring: VO trajectory -> pose-graph -> refined
+trajectory.
+
+The reference never revisits (frame-to-frame only); this implements the
+position-hypothesis loop detector VERDICT r4 named, measures each loop
+edge with the pipeline's OWN machinery — one extra VO step between the two
+keyframes' stereo pairs (detect on kf_i, circular-match into kf_j,
+triangulate, PnP-RANSAC), so the constraint is a real measurement, not
+ground truth — and solves the keyframe pose graph (ba/posegraph.py).
+
+Cost model: detection is O(K^2) on K keyframe positions (host NumPy,
+microseconds); each accepted candidate costs one jitted VO step; the GN
+solve is one compiled program. Nothing here runs in the frame loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from visual_odom_tpu.config import CameraIntrinsics, VOConfig
+
+
+class LoopClosureInfo(NamedTuple):
+    candidates: list          # [(frame_i, frame_j)] considered
+    edges: list               # [(frame_i, frame_j, inliers)] accepted
+    closure_before_m: Optional[float]
+    closure_after_m: Optional[float]
+
+
+def detect_loop_candidates(positions: np.ndarray,
+                           keyframe_idx: np.ndarray,
+                           radius: float = 10.0,
+                           min_separation: int = 100,
+                           max_candidates: int = 32) -> list:
+    """Revisit hypotheses from the ESTIMATED trajectory: keyframe pairs
+    whose estimated positions fall within ``radius`` meters despite being
+    ``min_separation`` frames apart, ordered nearest first. Dedup happens
+    at MEASUREMENT time (close_loops), not here: the estimate carries the
+    very drift the loop exists to fix, so the nearest-estimated pair is
+    not always the measurable one — a failed candidate must not block its
+    neighbors."""
+    kf = np.asarray(keyframe_idx)
+    p = positions[kf]
+    d = np.linalg.norm(p[:, None, :] - p[None, :, :], axis=-1)
+    ii, jj = np.meshgrid(kf, kf, indexing="ij")
+    ok = (jj - ii >= min_separation) & (d <= radius)
+    cand = np.argwhere(ok)
+    order = np.argsort(d[ok])
+    return [(int(kf[cand[k][0]]), int(kf[cand[k][1]]))
+            for k in order[:max_candidates]]
+
+
+def measure_loop_edge(frame_i, frame_j, config: VOConfig,
+                      intrinsics: CameraIntrinsics, seed: int = 0):
+    """Relative pose kf_i -> kf_j measured by one VO step: initialize on
+    frame_i's stereo pair, process frame_j's. Returns (T_ij (4, 4) f64,
+    num_inliers, accept) — T_ij maps frame-j camera coordinates into
+    frame i's (the same delta-inverse the per-frame chain integrates).
+
+    The wide-baseline tolerance is whatever the full-pyramid LK can absorb:
+    loop revisits sit near the original pose (that is what made them
+    candidates), so displacements are small. Seeded level skip is disabled
+    here — there is no motion prior between non-consecutive frames."""
+    from visual_odom_tpu.runner.pipeline import VisualOdometry
+    import dataclasses
+
+    cfg = dataclasses.replace(config, lk_seed_skip_levels=0)
+    vo = VisualOdometry(cfg, intrinsics, seed=seed)
+    vo.initialize(frame_i[0], frame_i[1])
+    r = vo.process_frame(frame_j[0], frame_j[1])
+    return np.asarray(r.pose, np.float64), r.num_inliers, r.accept
+
+
+def measure_loop_edge_bidirectional(
+        frame_i, frame_j, config: VOConfig, intrinsics: CameraIntrinsics,
+        consistency_t: float = 0.5, consistency_r_deg: float = 5.0):
+    """Validated loop-edge measurement: measure i->j AND j->i, require the
+    two to invert each other (a wide-baseline mismatch produces two
+    independent garbage poses whose composition is far from identity —
+    measured to separate good edges at ~0.25 m composition error from
+    garbage at ~2.8 m), then symmetrize to the SE(3) midpoint of the
+    forward and inverted backward measurements (halves the independent
+    error components; a few-inlier solve is noisy in both directions).
+
+    Returns (T_ij (4, 4) f64 or None, min_inliers, ok)."""
+    Tf, inl_f, acc_f = measure_loop_edge(frame_i, frame_j, config,
+                                         intrinsics)
+    Tb, inl_b, acc_b = measure_loop_edge(frame_j, frame_i, config,
+                                         intrinsics)
+    inl = min(inl_f, inl_b)
+    if not (acc_f and acc_b):
+        return None, inl, False
+    E = Tf @ Tb
+    r_err = np.degrees(np.arccos(np.clip(
+        (np.trace(E[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)))
+    t_err = float(np.linalg.norm(E[:3, 3]))
+    if t_err > consistency_t or r_err > consistency_r_deg:
+        return None, inl, False
+    Tb_inv = np.linalg.inv(Tb)
+    mid = np.eye(4)
+    # Rotation midpoint: R_f advanced halfway toward R_b^-1.
+    from visual_odom_tpu.ba.posegraph import _so3_log_stable
+    from visual_odom_tpu.core.lie import rodrigues
+
+    d = np.asarray(_so3_log_stable(
+        (Tf[:3, :3].T @ Tb_inv[:3, :3]).astype(np.float32)), np.float64)
+    mid[:3, :3] = Tf[:3, :3] @ np.asarray(
+        rodrigues((0.5 * d).astype(np.float32)), np.float64)
+    mid[:3, 3] = 0.5 * (Tf[:3, 3] + Tb_inv[:3, 3])
+    return mid, inl, True
+
+
+def close_loops(
+    poses: np.ndarray,
+    frame_of,
+    config: VOConfig,
+    intrinsics: CameraIntrinsics,
+    keyframe_every: int = 16,
+    radius: float = 10.0,
+    min_separation: int = 100,
+    min_edge_inliers: int = 30,
+    gn_iterations: int = 10,
+    mesh=None,
+    gt_loop_pair: Optional[tuple] = None,
+    max_measurements: int = 8,
+):
+    """Detect revisits in ``poses``, measure loop edges, solve the keyframe
+    pose graph, and redistribute the drift over all frames.
+
+    Args:
+      poses: (N, 4, 4) chained trajectory (frame 0 = identity).
+      frame_of: ``frame_of(i) -> (left, right)`` random-access frames.
+      keyframe_every: node spacing (frame 0 and the last frame are always
+        nodes).
+      min_edge_inliers: PnP consensus floor for accepting a measured loop
+        edge — a failed wide-baseline match must not write a garbage
+        constraint into the graph.
+      mesh: optional jax Mesh — solves the graph edge-sharded over its
+        "model" axis (sharded_posegraph_solve) instead of single-device.
+      gt_loop_pair: optional (i, j) override for the closure metric frames
+        (the bench's loop course knows its schedule).
+
+    Returns (new_poses (N, 4, 4) f64, LoopClosureInfo). With no accepted
+    edge, returns the input unchanged.
+    """
+    from visual_odom_tpu.ba.posegraph import (
+        build_keyframe_graph,
+        posegraph_solve,
+        redistribute_poses,
+        sharded_posegraph_solve,
+    )
+
+    n = len(poses)
+    kf = np.arange(0, n, keyframe_every)
+    if kf[-1] != n - 1:
+        kf = np.append(kf, n - 1)
+
+    positions = poses[:, :3, 3]
+    cands = detect_loop_candidates(positions, kf, radius=radius,
+                                   min_separation=min_separation)
+    edges = []
+    accepted = []
+    used: set = set()
+    measured = 0
+    inv = np.linalg.inv
+    h = max(1, keyframe_every // 4)
+    for (fi, fj) in cands:
+        # One accepted edge per revisit neighborhood: endpoints within a
+        # keyframe interval of an ACCEPTED edge are covered by it (failed
+        # measurements do not block their neighbors).
+        if any(abs(fi - a) <= keyframe_every and abs(fj - b) <= keyframe_every
+               for (a, b) in used):
+            continue
+        # The drifted estimate cannot name the exact co-located frame, but
+        # LOCAL odometry is accurate: probe a small window around the
+        # candidate keyframe and bridge the accepted measurement back to it
+        # with the chained odometry (T(fi->fj) = T_meas(fi->j) @
+        # T_odo(j->fj)) so the graph edge still lands on keyframe nodes.
+        for off in (0, -h, h, -2 * h, 2 * h, -3 * h, 3 * h):
+            j = fj + off
+            if not (0 <= j < n) or measured >= max_measurements:
+                continue
+            measured += 1
+            T_meas, inl, accept = measure_loop_edge_bidirectional(
+                frame_of(fi), frame_of(j), config, intrinsics)
+            if accept and inl >= min_edge_inliers:
+                bridge = inv(poses[j]) @ poses[fj]
+                # Loop edges outweigh odometry edges: one loop edge
+                # corrects the drift of ~min_separation chained steps.
+                edges.append((fi, fj, T_meas @ bridge, 10.0))
+                accepted.append((fi, fj, int(inl)))
+                used.add((fi, fj))
+                break
+        if measured >= max_measurements:
+            break
+
+    def closure(ps):
+        if gt_loop_pair is None:
+            return None
+        i, j = gt_loop_pair
+        return float(np.linalg.norm(ps[j][:3, 3] - ps[i][:3, 3]))
+
+    info = LoopClosureInfo(
+        candidates=cands,
+        edges=accepted,
+        closure_before_m=closure(poses),
+        closure_after_m=None,
+    )
+    if not edges:
+        return poses, info
+
+    graph = build_keyframe_graph(poses, kf, edges)
+    solved = (sharded_posegraph_solve(graph, mesh, iterations=gn_iterations)
+              if mesh is not None else
+              posegraph_solve(graph, iterations=gn_iterations))
+    new_poses = redistribute_poses(poses, kf, np.asarray(solved.nodes))
+    info = info._replace(closure_after_m=closure(new_poses))
+    return new_poses, info
