@@ -135,7 +135,7 @@ def bench_course(name: str, num_frames: int, height: int, width: int,
         stream_stats = {}
         _, _, swall, sproc = run_sequence_scan(
             frames, cfg, intr, chunk=chunk, preupload=False,
-            stats_out=stream_stats)
+            upload_threads=4, stats_out=stream_stats)
         stream_fps = sproc / swall
     accept = float(np.mean(fetched.accept))
 
@@ -164,6 +164,12 @@ def bench_course(name: str, num_frames: int, height: int, width: int,
             m["stream_upload_busy_frac"] = round(stream_stats["busy_frac"], 3)
             m["stream_upload_s"] = round(stream_stats["upload_s"], 2)
             m["stream_decode_s"] = round(stream_stats["decode_s"], 2)
+            if "agg_upload_mb_s" in stream_stats:
+                agg = stream_stats["agg_upload_mb_s"]
+                m["stream_agg_upload_mb_s"] = round(agg, 1)
+                mb_per_frame = 2 * frames[0][0].nbytes / 1e6
+                m["link_ceiling_fps"] = round(agg / mb_per_frame, 1)
+                m["stream_threads"] = stream_stats["threads"]
     # KITTI-devkit segment errors (needs >= 100 m of path).
     if course_len >= 100.0:
         from visual_odom_tpu.eval.kitti_eval import (

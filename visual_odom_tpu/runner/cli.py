@@ -155,6 +155,7 @@ def _cmd_run(args) -> int:
                 chunk=args.chunk,
                 max_frames=args.max_frames,
                 verbose=not args.quiet,
+                upload_threads=args.upload_threads,
             )
         elif args.ba_window:
             # Scan-speed BA: the scan emits compact per-frame TrackSnapshots
@@ -164,7 +165,8 @@ def _cmd_run(args) -> int:
             from visual_odom_tpu.ba.window import smooth_trajectory_ba
 
             poses, fetched, wall, processed, snaps = run_sequence_scan(
-                frames, cfg, intr, chunk=args.chunk, collect_tracks=True)
+                frames, cfg, intr, chunk=args.chunk, collect_tracks=True,
+                upload_threads=args.upload_threads)
             solver = None
             if args.ba_ring:
                 import jax
@@ -183,7 +185,8 @@ def _cmd_run(args) -> int:
                                          solver=solver)
         else:
             poses, fetched, wall, processed = run_sequence_scan(
-                frames, cfg, intr, chunk=args.chunk)
+                frames, cfg, intr, chunk=args.chunk,
+                upload_threads=args.upload_threads)
         if not args.quiet and processed:
             print(f"{processed} frames in {wall:.2f}s "
                   f"({processed / wall:.1f} FPS)")
@@ -442,6 +445,10 @@ def main(argv=None) -> int:
     pr.add_argument("--checkpoint-every", type=int, default=100,
                     help="snapshot interval in frames (rounded up to a "
                          "chunk multiple on the fast path)")
+    pr.add_argument("--upload-threads", type=int, default=4,
+                    help="concurrent decode+upload streams feeding the "
+                         "fast path (UPLOAD_SWEEP_r05: 4 streams lift the "
+                         "tunnel-bound streamed rate ~35%% over 1)")
     pr.add_argument("--live", action="store_true",
                     help="interactive trajectory + tracking windows "
                          "(needs a display server; reference "

@@ -431,6 +431,144 @@ def _frame_chunks(it, chunk: int):
 
 
 
+class _ParallelChunkUploader:
+    """N-thread decode+upload pool feeding the scan loop IN ORDER.
+
+    The single-thread uploader saturates at ~50 MB/s with busy_frac ~1 on
+    the axon tunnel while the link itself admits more via concurrent
+    device_put streams (VERDICT r4 weak #2 / next-step #2): each worker
+    pulls the next (seq, chunk) under a lock, decodes + uploads it, and
+    deposits into a seq-keyed stash; the consumer pops strictly by seq.
+    Backpressure: a worker blocks while its finished chunk would put the
+    stash more than ``max_ahead`` chunks past the consumer cursor, so host
+    + device memory stay O(threads + max_ahead) chunks.
+
+    stats_out gains per-thread attribution plus the aggregate:
+    ``agg_upload_mb_s`` (total bytes / pool wall — the measured CONCURRENT
+    upload throughput) and ``threads``.
+    """
+
+    def __init__(self, chunks, threads: int = 3, max_ahead: int = 3,
+                 stats_out: Optional[dict] = None):
+        import threading as _threading
+
+        self._chunks = chunks
+        self._lock = _threading.Lock()       # guards iterator + seq counter
+        self._cond = _threading.Condition()  # guards stash + cursors
+        self._stash: dict = {}
+        self._next_get = 0                   # consumer cursor
+        self._next_seq = 0                   # producer assignment counter
+        self._eos_seq: Optional[int] = None  # seq AFTER the last real chunk
+        self._max_ahead = max_ahead
+        self._cancel = _threading.Event()
+        self._err: list = []
+        self._stats_out = stats_out
+        self._tstats = []
+        self._t0 = time.perf_counter()
+        self._threads = [
+            _threading.Thread(target=self._run, args=(k,), daemon=True)
+            for k in range(max(1, threads))
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _run(self, k: int):
+        stats = {"decode_s": 0.0, "upload_s": 0.0, "upload_bytes": 0,
+                 "thread_wall_s": 0.0, "chunks": 0}
+        t_start = time.perf_counter()
+        try:
+            while not self._cancel.is_set():
+                t0 = time.perf_counter()
+                with self._lock:
+                    seq = self._next_seq
+                    nxt = next(self._chunks, None)
+                    if nxt is None:
+                        with self._cond:
+                            if (self._eos_seq is None
+                                    or seq < self._eos_seq):
+                                self._eos_seq = seq
+                            self._cond.notify_all()
+                        return
+                    self._next_seq += 1
+                stats["decode_s"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                dl = jax.device_put(nxt[0])
+                dr = jax.device_put(nxt[1])
+                jax.block_until_ready((dl, dr))
+                stats["upload_s"] += time.perf_counter() - t0
+                stats["upload_bytes"] += nxt[0].nbytes + nxt[1].nbytes
+                stats["chunks"] += 1
+                with self._cond:
+                    while (seq - self._next_get >= self._max_ahead
+                           and not self._cancel.is_set()):
+                        self._cond.wait(timeout=0.2)
+                    if self._cancel.is_set():
+                        return
+                    self._stash[seq] = (dl, dr, nxt[2])
+                    self._cond.notify_all()
+        except BaseException as e:
+            self._err.append(e)
+            with self._cond:
+                self._cond.notify_all()
+        finally:
+            stats["thread_wall_s"] = time.perf_counter() - t_start
+            self._tstats.append(stats)
+
+    def get(self):
+        with self._cond:
+            while True:
+                if self._err:
+                    raise self._err[0]
+                if self._next_get in self._stash:
+                    item = self._stash.pop(self._next_get)
+                    self._next_get += 1
+                    self._cond.notify_all()
+                    return item
+                if (self._eos_seq is not None
+                        and self._next_get >= self._eos_seq):
+                    self._finalize_stats()
+                    return None
+                self._cond.wait(timeout=0.2)
+
+    def cancel(self):
+        self._cancel.set()
+        with self._cond:
+            self._cond.notify_all()
+        for t in self._threads:
+            t.join(timeout=30.0)
+
+    def finish(self):
+        for t in self._threads:
+            t.join()
+        if self._err:
+            raise self._err[0]
+        self._finalize_stats()
+
+    def _finalize_stats(self):
+        if self._stats_out is None or not self._tstats:
+            return
+        wall = time.perf_counter() - self._t0
+        agg = {k: sum(s[k] for s in self._tstats)
+               for k in ("decode_s", "upload_s", "upload_bytes", "chunks")}
+        self._stats_out.update(agg)
+        self._stats_out["threads"] = len(self._threads)
+        self._stats_out["pool_wall_s"] = wall
+        self._stats_out["per_thread"] = [
+            {**s, "busy_frac": ((s["decode_s"] + s["upload_s"])
+                                / s["thread_wall_s"]
+                                if s["thread_wall_s"] > 0 else 0.0),
+             "upload_mb_s": (s["upload_bytes"] / 1e6 / s["upload_s"]
+                             if s["upload_s"] > 0 else 0.0)}
+            for s in self._tstats]
+        self._stats_out["busy_frac"] = max(
+            t["busy_frac"] for t in self._stats_out["per_thread"])
+        self._stats_out["upload_mb_s"] = (
+            agg["upload_bytes"] / 1e6 / agg["upload_s"]
+            if agg["upload_s"] > 0 else 0.0)  # per-stream rate
+        self._stats_out["agg_upload_mb_s"] = (
+            agg["upload_bytes"] / 1e6 / wall if wall > 0 else 0.0)
+
+
 class _ChunkUploader:
     """Background decode+upload thread shared by the scan runners.
 
@@ -542,6 +680,7 @@ def run_sequence_scan(
     preupload: bool = False,
     stats_out: Optional[dict] = None,
     collect_tracks: bool = False,
+    upload_threads: int = 1,
 ):
     """Chunked-scan sequence runner — the throughput front door.
 
@@ -594,9 +733,16 @@ def run_sequence_scan(
     # ``preupload`` trades host memory for timing isolation: every chunk is
     # resident on device before the loop starts, so the measured wall is
     # pure device pipeline throughput (the bench's metric; rounds 1-2
-    # quoted the same way). Default (False) is the production path.
-    up = _ChunkUploader(chunks, maxsize=1_000_000 if preupload else 2,
-                        stats_out=stats_out)
+    # quoted the same way). Default (False) is the production path;
+    # ``upload_threads`` > 1 streams through the concurrent uploader pool
+    # (the tunnel admits more bandwidth via parallel device_put streams
+    # than one thread can drive — SOAK_r05).
+    if upload_threads > 1 and not preupload:
+        up = _ParallelChunkUploader(chunks, threads=upload_threads,
+                                    stats_out=stats_out)
+    else:
+        up = _ChunkUploader(chunks, maxsize=1_000_000 if preupload else 2,
+                            stats_out=stats_out)
     if preupload:
         up.finish()
         pending = []
@@ -721,6 +867,7 @@ def run_sequence_scan_resumable(
     warmup: bool = True,
     verbose: bool = False,
     stats_out: Optional[dict] = None,
+    upload_threads: int = 1,
 ):
     """Chunked-scan runner with chunk-boundary checkpointing + crash resume
     — the FAST path's checkpointing (VERDICT.md round-3 weak #5: the
@@ -813,9 +960,13 @@ def run_sequence_scan_resumable(
 
     chunks = _frame_chunks(iter(frame_iter()), chunk)
 
-    # Shared uploader thread (attribution into stats_out — the soak runs
-    # through THIS runner, checkpointing on).
-    up = _ChunkUploader(chunks, maxsize=2, stats_out=stats_out)
+    # Shared uploader thread(s) (attribution into stats_out — the soak
+    # runs through THIS runner, checkpointing on).
+    if upload_threads > 1:
+        up = _ParallelChunkUploader(chunks, threads=upload_threads,
+                                    stats_out=stats_out)
+    else:
+        up = _ChunkUploader(chunks, maxsize=2, stats_out=stats_out)
 
     fetched_np: list = []       # numpy StepOutput stacks, one per chunk
     pending: list = []          # device StepOutput stacks not yet fetched
