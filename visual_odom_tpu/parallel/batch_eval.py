@@ -40,6 +40,34 @@ def _frame_at(seq, i: int):
     return seq[j]
 
 
+def _batched_restore_state(config, mesh, ckpt, lefts, rights):
+    """Batched VOState from a snapshot's stacked feature arrays + the
+    checkpointed frame's (B, H, W) images (pyramids recomputed, the
+    restore_vo contract batched)."""
+    from visual_odom_tpu.frontend.featureset import FeatureState
+    from visual_odom_tpu.runner.pipeline import VOState, prep_image
+
+    with jax.sharding.set_mesh(mesh):
+        prep = jax.jit(jax.vmap(
+            lambda l, r: (prep_image(l, config), prep_image(r, config))))
+        lk_l0, lk_r0 = prep(jnp.asarray(lefts), jnp.asarray(rights))
+        return VOState(
+            features=FeatureState(
+                points=jnp.asarray(ckpt["points"]),
+                ages=jnp.asarray(ckpt["ages"]),
+                valid=jnp.asarray(ckpt["valid"]),
+                ids=jnp.asarray(ckpt["ids"]),
+                next_id=jnp.asarray(ckpt["next_id"]),
+                flow=jnp.asarray(ckpt["flow"]),
+                disp=jnp.asarray(ckpt["disp"]),
+            ),
+            lk_l0=lk_l0,
+            lk_r0=lk_r0,
+            tvec=jnp.asarray(ckpt["tvec"]),
+            key=jnp.asarray(ckpt["key"]),
+        )
+
+
 def run_sequences_batched(
     sequences: Sequence,            # random-access sequences or frame lists
     config: VOConfig,
@@ -47,6 +75,9 @@ def run_sequences_batched(
     mesh: Mesh,
     seed: int = 0,
     chunk: int = 0,
+    checkpoint_path: str = "",
+    checkpoint_every: int = 0,
+    verbose: bool = False,
 ):
     """Run B sequences in lockstep. Returns (list of (Ni+1, 4, 4) pose
     arrays, per-sequence stats dicts, wall_seconds).
@@ -54,7 +85,23 @@ def run_sequences_batched(
     ``chunk > 0`` scans ``chunk`` frames per device dispatch (the batched
     twin of runner.run_sequence_scan): per-frame dispatch latency — the
     dominant cost of the per-frame path on a remote-dispatch link — is paid
-    once per chunk, with chunk decode+upload on a background thread."""
+    once per chunk, with chunk decode+upload on a background thread.
+
+    ``checkpoint_path`` (chunked path only) makes the batched run
+    RESTARTABLE (SURVEY.md section 5: multi-host batch eval shard restart;
+    VERDICT r4 missing #3): one atomic npz snapshot covering all B lockstep
+    shards every ``checkpoint_every`` frames (rounded up to a chunk
+    multiple — boundaries realign so a resumed run is bit-identical to an
+    uninterrupted one). State fetch is two packed device->host round trips
+    (the _make_snapshot_packer layout, vmapped over the batch)."""
+    import os
+
+    from visual_odom_tpu.utils.checkpoint import (
+        CorruptCheckpoint,
+        load_batch_checkpoint,
+        save_batch_checkpoint,
+    )
+
     B = len(sequences)
     lengths = [len(s) for s in sequences]
     n_steps = max(lengths) - 1
@@ -63,15 +110,55 @@ def run_sequences_batched(
         fr = [_frame_at(s, i) for s in sequences]
         return (np.stack([f[0] for f in fr]), np.stack([f[1] for f in fr]))
 
-    lefts0, rights0 = stacked(0)
-    state = batched_init_state(config, lefts0, rights0, mesh, seed=seed)
+    if checkpoint_path and not chunk:
+        raise ValueError("batched checkpointing needs chunk > 0 "
+                         "(snapshots land on chunk boundaries)")
 
     if chunk:
         from visual_odom_tpu.parallel.batch import make_batched_scan_fn
-        from visual_odom_tpu.runner.pipeline import _ChunkUploader
+        from visual_odom_tpu.runner.pipeline import (
+            _ChunkUploader,
+            _make_snapshot_packer,
+            _unpack_snapshot,
+        )
 
         scan = make_batched_scan_fn(config, intrinsics, mesh, chunk)
         n_chunks = -(-n_steps // chunk)
+        ck_chunks = max(1, -(-checkpoint_every // chunk)) \
+            if checkpoint_every else 1
+
+        start_chunk = 0
+        prev: dict = {}
+        state = None
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            try:
+                ck = load_batch_checkpoint(checkpoint_path, B)
+                steps_done = int(ck["frames_done"])
+                if steps_done % chunk or steps_done > n_steps:
+                    raise CorruptCheckpoint(
+                        f"cursor {steps_done} not a chunk-{chunk} boundary "
+                        f"within {n_steps} steps")
+                start_chunk = steps_done // chunk
+                prev = {k: ck["out_" + k]
+                        for k in ("T_inv", "accept", "num_inliers")}
+                if start_chunk < n_chunks:
+                    lk, rk = stacked(steps_done)
+                    state = _batched_restore_state(config, mesh, ck, lk, rk)
+                if verbose:
+                    print(f"resumed batched scan from {checkpoint_path} "
+                          f"at step {steps_done}")
+            except CorruptCheckpoint as e:
+                import sys
+
+                print(f"warning: rejecting corrupt checkpoint: {e}",
+                      file=sys.stderr)
+                start_chunk = 0
+                prev = {}
+                state = None
+        if state is None and start_chunk < n_chunks:
+            lefts0, rights0 = stacked(0)
+            state = batched_init_state(config, lefts0, rights0, mesh,
+                                       seed=seed)
 
         def chunk_at(c):
             # (chunk, B, H, W) host stacks; tail repeats the final frame
@@ -82,9 +169,27 @@ def run_sequences_batched(
             return (np.stack([f[0] for f in fr]),
                     np.stack([f[1] for f in fr]), c)
 
-        up = _ChunkUploader((chunk_at(c) for c in range(n_chunks)),
+        pack = _make_snapshot_packer(config)
+        vpack = jax.jit(jax.vmap(pack))
+        up = _ChunkUploader((chunk_at(c)
+                             for c in range(start_chunk, n_chunks)),
                             maxsize=2)
-        outs = []
+        fetched: list = []     # numpy out dicts, one per processed chunk
+        pending: list = []     # device outs not yet fetched
+        chunks_done = start_chunk
+
+        def _fetch_pending():
+            while pending:
+                o = pending.pop(0)
+                fetched.append({"T_inv": np.asarray(o.T_inv),
+                                "accept": np.asarray(o.accept),
+                                "num_inliers": np.asarray(o.num_inliers)})
+
+        def _outs_so_far(upto):
+            parts = ([prev] if prev else []) + fetched
+            return {k: np.concatenate([p[k] for p in parts])[:upto]
+                    for k in ("T_inv", "accept", "num_inliers")}
+
         # First get() BEFORE the timer: the first chunk's decode+upload is
         # excluded from the measured wall, mirroring run_sequence_scan's
         # pre-timed dl0/dr0 so SCALING_* artifacts compare like for like
@@ -94,18 +199,31 @@ def run_sequences_batched(
         try:
             while cur is not None:
                 state, out = scan(state, cur[0], cur[1])
-                outs.append(out)
+                pending.append(out)
+                chunks_done += 1
+                if (checkpoint_path and chunks_done < n_chunks
+                        and (chunks_done - start_chunk) % ck_chunks == 0):
+                    f32v, i32v = vpack(state)
+                    f32v, i32v = np.asarray(f32v), np.asarray(i32v)
+                    rows = [_unpack_snapshot(config, f32v[b], i32v[b])
+                            for b in range(B)]
+                    arrays = {k: np.stack([r[k] for r in rows])
+                              for k in rows[0]}
+                    _fetch_pending()
+                    steps_now = min(chunks_done * chunk, n_steps)
+                    save_batch_checkpoint(checkpoint_path, steps_now,
+                                          arrays, _outs_so_far(steps_now))
+                    if verbose:
+                        print(f"batched checkpoint @ step {steps_now}")
                 cur = up.get()
-            jax.block_until_ready(outs[-1].T_inv)
+            _fetch_pending()
             wall = time.perf_counter() - t0
         except BaseException:
             up.cancel()
             raise
         up.finish()
-        T = np.concatenate([np.asarray(o.T_inv) for o in outs])[:n_steps]
-        A = np.concatenate([np.asarray(o.accept) for o in outs])[:n_steps]
-        I = np.concatenate([np.asarray(o.num_inliers)
-                            for o in outs])[:n_steps]
+        outs = _outs_so_far(n_steps)
+        T, A, I = outs["T_inv"], outs["accept"], outs["num_inliers"]
         poses, stats = [], []
         for b in range(B):
             nb = lengths[b] - 1
@@ -116,6 +234,9 @@ def run_sequences_batched(
                 "mean_inliers": float(I[:nb, b].mean()) if nb else 0.0,
             })
         return poses, stats, wall
+
+    lefts0, rights0 = stacked(0)
+    state = batched_init_state(config, lefts0, rights0, mesh, seed=seed)
 
     step = make_batched_step_fn(config, intrinsics, mesh)
 

@@ -389,7 +389,9 @@ def _cmd_run_batch(args) -> int:
     cfg = VOConfig.for_image(h, w)
     mesh = data_model_mesh(data=args.data_parallel or None)
     poses_list, stats, wall = run_sequences_batched(
-        seqs, cfg, intr, mesh, chunk=args.chunk)
+        seqs, cfg, intr, mesh, chunk=args.chunk,
+        checkpoint_path=args.checkpoint or "",
+        checkpoint_every=args.checkpoint_every)
     total_frames = sum(len(s) for s in seqs)
     print(f"{total_frames} frames / {len(seqs)} sequences in {wall:.1f}s "
           f"({total_frames / wall:.1f} frames/s aggregate)")
@@ -485,6 +487,13 @@ def main(argv=None) -> int:
     prb.add_argument("--max-frames", type=int, default=0)
     prb.add_argument("--chunk", type=int, default=16,
                      help="frames per device dispatch (0 = step per frame)")
+    prb.add_argument("--checkpoint",
+                     help="restartable batch eval: one atomic snapshot "
+                          "covering all lockstep shards, chunk-boundary "
+                          "aligned; resumes from it when present")
+    prb.add_argument("--checkpoint-every", type=int, default=256,
+                     help="batched snapshot interval in frames (rounded "
+                          "up to a chunk multiple)")
     prb.set_defaults(fn=_cmd_run_batch)
 
     pe = sub.add_parser("eval", help="KITTI devkit scoring")

@@ -166,3 +166,52 @@ def restore_vo(vo, ckpt: dict, left_t0: np.ndarray, right_t0: np.ndarray) -> int
         key=jnp.asarray(ckpt["key"]),
     )
     return vo.frame_id + 1
+
+
+# --- batched (multi-sequence DP) chunk-boundary checkpoints ----------------
+# SURVEY.md section 5: "for multi-host batch eval make sequence shards
+# restartable" (VERDICT r4 missing #3 / next-step #5). One snapshot covers
+# ALL B lockstep sequences: the batched VOState's resumable arrays carry a
+# leading batch axis, outputs are the (steps, B, ...) stacks the chunked
+# batch runner accumulates.
+
+_BATCH_REQUIRED = ("frames_done", "points", "ages", "valid", "ids",
+                   "next_id", "flow", "disp", "tvec", "key",
+                   "out_T_inv", "out_accept", "out_num_inliers")
+
+
+def save_batch_checkpoint(path: str, frames_done: int, state_arrays: dict,
+                          outs: dict) -> None:
+    """Snapshot the batched scan at a chunk boundary. ``state_arrays``:
+    batched resumable arrays (leading B); ``outs``: {"T_inv": (steps, B,
+    4, 4), "accept": (steps, B), "num_inliers": (steps, B)}."""
+    payload = {"frames_done": np.int64(frames_done)}
+    for k in ("points", "ages", "valid", "ids", "next_id", "flow", "disp",
+              "tvec", "key"):
+        payload[k] = np.asarray(state_arrays[k])
+    for k, v in outs.items():
+        payload["out_" + k] = np.asarray(v)
+    _atomic_savez(path, payload)
+
+
+def load_batch_checkpoint(path: str, batch: int) -> dict:
+    """Load + validate a batched snapshot for a B=``batch`` run; raises
+    CorruptCheckpoint on torn files, cursor/output mismatch, or a batch
+    size that does not match the resuming run."""
+    try:
+        with np.load(path) as z:
+            ckpt = {k: z[k] for k in z.files}
+    except Exception as e:
+        raise CorruptCheckpoint(f"{path}: unreadable ({e!r})") from e
+    missing = [k for k in _BATCH_REQUIRED if k not in ckpt]
+    if missing:
+        raise CorruptCheckpoint(f"{path}: missing keys {missing}")
+    if int(ckpt["frames_done"]) != len(ckpt["out_accept"]):
+        raise CorruptCheckpoint(
+            f"{path}: cursor/output mismatch "
+            f"({int(ckpt['frames_done'])} vs {len(ckpt['out_accept'])})")
+    if ckpt["points"].shape[0] != batch:
+        raise CorruptCheckpoint(
+            f"{path}: batch mismatch (snapshot B={ckpt['points'].shape[0]},"
+            f" run B={batch})")
+    return ckpt
