@@ -62,6 +62,39 @@ def _smooth_noise(h, w, rng, octaves=8, persistence=0.95):
     return img * 255.0
 
 
+def _checker_interference(h, w, rng):
+    """Alternative texture family ("checker") for the level-skip ablation
+    (VERDICT r4 next-step #9): a soft checkerboard + a handful of
+    band-limited sinusoid gratings + sparse Gaussian blobs. Spectrally
+    disjoint from _smooth_noise's near-1/f value-noise stack — energy
+    concentrated at a few scales with periodic self-similarity, exactly the
+    structure that tempts coarse-to-fine LK toward wrong (aliased) minima
+    when coarse levels are skipped."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = 0.45 * np.sin(2 * np.pi * xx / 24) * np.sin(2 * np.pi * yy / 24)
+    for _ in range(6):
+        fx_, fy_ = rng.uniform(0.02, 0.25, 2)
+        img += 0.12 * np.sin(2 * np.pi * (fx_ * xx + fy_ * yy)
+                             + rng.uniform(0, 2 * np.pi))
+    # Sparse blobs: isolated corners so the detector is never starved.
+    for _ in range(max(200, h * w // 1600)):
+        cx, cy = rng.integers(0, w), rng.integers(0, h)
+        sig = rng.uniform(1.5, 4.0)
+        r = int(3 * sig)
+        y0, y1 = max(0, cy - r), min(h, cy + r + 1)
+        x0, x1 = max(0, cx - r), min(w, cx + r + 1)
+        py, px = np.mgrid[y0:y1, x0:x1].astype(np.float64)
+        img[y0:y1, x0:x1] += rng.uniform(-1.2, 1.2) * np.exp(
+            -((py - cy) ** 2 + (px - cx) ** 2) / (2 * sig * sig))
+    img -= img.min()
+    img /= max(img.max(), 1e-9)
+    return img * 255.0
+
+
+_TEXTURE_FAMILIES = {"value": _smooth_noise,
+                     "checker": _checker_interference}
+
+
 class _Plane:
     def __init__(self, p0, e1, e2, extent1, extent2, texture, tex_scale,
                  path_s=None):
@@ -120,6 +153,7 @@ class SyntheticStereoSequence:
         noise_sigma: float = 0.0,
         occluders: bool = False,
         lowtex_span: tuple[float, float] | None = None,
+        texture_family: str = "value",
     ):
         """Args beyond the round-2 surface (all default OFF — the gentle
         straight corridor is unchanged):
@@ -206,9 +240,14 @@ class SyntheticStereoSequence:
         # 718.856-focal-length camera sees ~1 px texels where intended.
         ts = 718.856 / max(intrinsics.fx, 1e-6)
 
-        ground_tex = _smooth_noise(768, 768, rng)
-        wall_texs = [_smooth_noise(640, 640, rng) for _ in range(4)]
-        backdrop_tex = _smooth_noise(768, 768, rng)
+        if texture_family not in _TEXTURE_FAMILIES:
+            raise ValueError(f"texture_family must be one of "
+                             f"{sorted(_TEXTURE_FAMILIES)}, "
+                             f"got {texture_family!r}")
+        _gen = _TEXTURE_FAMILIES[texture_family]
+        ground_tex = _gen(768, 768, rng)
+        wall_texs = [_gen(640, 640, rng) for _ in range(4)]
+        backdrop_tex = _gen(768, 768, rng)
         # Low-texture variants: contrast collapsed to 18% around mid-gray —
         # local gradients drop below the FAST threshold over most of the
         # wall, starving the detector through the lowtex_span stretch.
@@ -515,8 +554,14 @@ COURSES = ("straight", "turning", "stress", "gatespike", "long", "loop")
 
 
 def make_course(name: str, intrinsics: CameraIntrinsics, num_frames: int,
-                seed: int = 0, speed: float = 0.8) -> SyntheticStereoSequence:
+                seed: int = 0, speed: float = 0.8,
+                texture_family: str = "value") -> SyntheticStereoSequence:
     """Named adversarial courses for the accuracy gauntlet.
+
+    ``texture_family``: "value" (default, the 8-octave value-noise renders
+    every round's artifacts use) or "checker" (periodic checker +
+    interference gratings + sparse blobs — the spectrally-disjoint family
+    for the level-skip ablation, VERDICT r4 next-step #9).
 
     - "straight": the round-2 gentle corridor (baseline).
     - "turning": two near-gate 90-degree intersection turns + road pitch
@@ -537,28 +582,33 @@ def make_course(name: str, intrinsics: CameraIntrinsics, num_frames: int,
       (``seq.loop_frame``); end-to-end loop-closure error is the strongest
       self-check synthetic ground truth allows.
     """
+    import functools
+
+    _Seq = functools.partial(SyntheticStereoSequence,
+                             texture_family=texture_family)
+
     if name == "long":
-        return SyntheticStereoSequence(
+        return _Seq(
             intrinsics, num_frames=num_frames, seed=seed, speed=1.25,
             course="long")
     if name == "loop":
-        return SyntheticStereoSequence(
+        return _Seq(
             intrinsics, num_frames=num_frames, seed=seed, speed=speed,
             course="loop")
     if name == "straight":
-        return SyntheticStereoSequence(
+        return _Seq(
             intrinsics, num_frames=num_frames, seed=seed, speed=speed)
     if name == "turning":
-        return SyntheticStereoSequence(
+        return _Seq(
             intrinsics, num_frames=num_frames, seed=seed, speed=speed,
             course="turning")
     if name == "gatespike":
-        return SyntheticStereoSequence(
+        return _Seq(
             intrinsics, num_frames=num_frames, seed=seed, speed=speed,
             course="gatespike")
     if name == "stress":
         total = num_frames * speed
-        return SyntheticStereoSequence(
+        return _Seq(
             intrinsics, num_frames=num_frames, seed=seed, speed=speed,
             course="turning", photometric=True, noise_sigma=2.0,
             occluders=True, lowtex_span=(0.40 * total, 0.55 * total))
