@@ -105,20 +105,30 @@ def main():
 
     base = rows[0]["aggregate_fps"]
     for r in rows:
-        r["efficiency_vs_data1"] = round(r["aggregate_fps"] / base, 3)
+        r["aggregate_fps_vs_data1"] = round(r["aggregate_fps"] / base, 3)
 
+    # Honest labeling (VERDICT r4 weak #6 / next-step #8): a CPU mesh on
+    # SHARED physical cores cannot bound ICI/DCN scaling — any ratio ≥ 0.7
+    # would be unfalsifiable as an "efficiency". These rows are a
+    # CORRECTNESS artifact: the sharded program compiles, runs, and stays
+    # accuracy-green at every data width. The true multi-chip ≥ 0.70
+    # efficiency claim (BASELINE.md) is PENDING multi-chip hardware; the
+    # closest measured evidence is the single-chip batching table
+    # (SCALING_tpu_*.json: B=1 -> B=2 aggregate on one real chip).
     result = {
         "harness": "run_sequences_batched lockstep DP",
         "backend": args.backend,
         "devices": n_dev,
         "image": f"{W}x{H}",
         "frames_per_seq": args.frames,
-        "ideal": ("constant aggregate fps (shared physical cores)"
+        "claim": ("CORRECTNESS ONLY: sharded DP step accuracy-green at "
+                  "every width; shared-core aggregate fps cannot bound "
+                  "multi-chip scaling"
                   if args.backend == "cpu"
-                  else "rising aggregate fps (batching recovers idle chip)"),
-        "target": ">= 0.70 efficiency (BASELINE.md multi-host scaling)",
+                  else "single-chip batching throughput (batching "
+                       "recovers idle chip); multi-chip efficiency "
+                       "pending hardware"),
         "rows": rows,
-        "efficiency_min": min(r["efficiency_vs_data1"] for r in rows),
     }
     blob = json.dumps(result, indent=2)
     print(blob)

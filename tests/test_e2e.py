@@ -251,8 +251,10 @@ def test_min_inlier_gate_rejects_scene_cut():
     """Beyond-reference failure detection (VOConfig.min_accept_inliers):
     a hard scene cut (lap-seam teleport) passes the reference's
     rotation+scale gates on a near-empty consensus — measured in the
-    round-4 multi-lap soak — but the inlier floor rejects it; default 0
-    preserves reference semantics (cut accepted)."""
+    round-4 multi-lap soak — but the inlier floor rejects it. Floor 0 =
+    reference semantics (cut accepted; the CLI opt-out); the shipped
+    default is the feature-budget-scaled auto floor, settled by
+    INLIER_FLOOR_r05.json."""
     from visual_odom_tpu.runner.pipeline import run_sequence_scan
 
     intr = CameraIntrinsics(

@@ -177,8 +177,16 @@ class VOConfig:
     # are blind to scene cuts / total tracking loss — a teleport can
     # produce a small-motion consensus of ~nothing that passes both
     # (measured in the round-4 multi-lap soak; the reference would accept
-    # it too). 0 = reference semantics (default).
-    min_accept_inliers: int = 0
+    # it too). Default -1 = AUTO: padded_features // 16, floored at 8 —
+    # 24 at KITTI scale, inside the floor band the round-5 sweep measured
+    # as FREE (INLIER_FLOOR_r05.json: floors {10,20,30} leave every healthy
+    # gauntlet course bit-identical — the weakest accepted frame carries
+    # 89+ inliers — while rejecting the scene-cut seam (2 inliers) and the
+    # gatespike's 0-inlier junk accepts). The floor scales with the feature
+    # budget because expected inlier counts do (reduced-resolution test
+    # cameras track ~a quarter the features). 0 = reference semantics
+    # (opt out via --min-accept-inliers 0).
+    min_accept_inliers: int = -1
 
     # --- TPU capacity knobs (no reference counterpart: fixed-shape design) ---
     # Max tracked features through LK = padded bucket-cell count.
@@ -257,6 +265,13 @@ class VOConfig:
         bucket cell (lane-aligned for the VPU)."""
         n = self.num_buckets * self.features_per_bucket
         return max(128, -(-n // 128) * 128)
+
+    def resolved_min_accept_inliers(self) -> int:
+        """The effective inlier floor (min_accept_inliers docstring):
+        explicit value, or the feature-budget-scaled auto default."""
+        if self.min_accept_inliers >= 0:
+            return self.min_accept_inliers
+        return max(8, self.padded_features // 16)
 
     def validate(self) -> "VOConfig":
         if self.padded_features > self.feature_capacity:

@@ -140,8 +140,9 @@ def run_sequence_pipelined(
 
         gate = gate_and_integrate(rvec_out, pnp.tvec)
         accept = gate.accept
-        if config.min_accept_inliers > 0:
-            accept = accept & (pnp.num_inliers >= config.min_accept_inliers)
+        if config.resolved_min_accept_inliers() > 0:
+            accept = accept & (pnp.num_inliers
+                               >= config.resolved_min_accept_inliers())
         warm = jnp.where(
             accept & jnp.bool_(config.use_extrinsic_guess),
             pnp.tvec, jnp.zeros(3, jnp.float32))

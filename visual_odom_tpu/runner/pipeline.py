@@ -172,11 +172,13 @@ def make_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
         # -- gating ----------------------------------------------------------
         gate = gate_and_integrate(rvec_out, pnp.tvec)
         accept = gate.accept
-        if config.min_accept_inliers > 0:
+        if config.resolved_min_accept_inliers() > 0:
             # Beyond-reference scene-cut / tracking-loss detection: the
             # rotation+scale gates can accept a near-empty consensus
-            # (config.min_accept_inliers docstring).
-            accept = accept & (pnp.num_inliers >= config.min_accept_inliers)
+            # (config.min_accept_inliers docstring; default settled by
+            # INLIER_FLOOR_r05.json).
+            accept = accept & (pnp.num_inliers
+                               >= config.resolved_min_accept_inliers())
 
         # Warm start for the next frame's PnP. Only an ACCEPTED solution may
         # seed the next solve: feeding a diverged (gate-rejected) tvec back
