@@ -368,6 +368,25 @@ def main():
         if i == 0:
             fps = c_fps  # headline = first (straight) course
 
+    # Fast mode (lk_seed_skip_levels=2): measured-green on the value-noise
+    # gauntlet but NOT texture-robust (TEXTURE_ABLATION_r05.json: fails the
+    # periodic checker family), so it ships as an opt-in; the bench reports
+    # its headline-course number alongside, accuracy-gated on its own run.
+    fast_fps = None
+    fast_ok = None
+    if courses and "straight" in courses[:1] and not args.quick \
+            and _EXTRA_CFG.get("lk_seed_skip_levels") is None:
+        _EXTRA_CFG["lk_seed_skip_levels"] = 2
+        try:
+            fast_fps, fast_m = bench_course(
+                "straight", num_frames, args.height, args.width,
+                reps=1, chunk=args.chunk)
+            fast_ok = fast_m["ok"]
+            print(f"[bench] straight fast-mode(skip=2): "
+                  f"{json.dumps(fast_m)}", file=sys.stderr, flush=True)
+        finally:
+            del _EXTRA_CFG["lk_seed_skip_levels"]
+
     # bench_lk is a fixed-content kernel-throughput metric: always the
     # straight course (its 0.7 survivor floor is calibrated there; the
     # endurance courses' 1.25 m/frame near-field flow legitimately fails
@@ -399,6 +418,9 @@ def main():
         "ate_rmse_m": head.get("ate_rmse_m"),
         "courses": per_course,
     }
+    if fast_fps is not None:
+        result["fps_fast_mode_skip2"] = round(fast_fps, 2)
+        result["fast_mode_ok"] = fast_ok
     print(json.dumps(result))
 
 

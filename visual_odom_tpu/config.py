@@ -208,15 +208,20 @@ class VOConfig:
     # Coarse pyramid levels to SKIP when seeding is on: the priors already
     # absorb the large displacement the coarse levels exist for, so the
     # refinement starts at level (lk_levels - lk_seed_skip_levels). Tracks
-    # whose prior was wrong fail the closure check and are replenished
-    # (accuracy is gated by the bench gauntlet). 0 = all levels (the
-    # reference's behavior). Default 2, measured on the real chip (round
-    # 4): 115.9 -> 175.7 FPS on the straight course, 202 FPS over the
-    # 1.28 km endurance course, accuracy green on all five gauntlet
-    # courses and BETTER on turning/stress (the coarse levels were
-    # occasionally dragging ambiguous tracks to wrong minima that the
-    # prior-seeded fine levels avoid).
-    lk_seed_skip_levels: int = 2
+    # whose prior was wrong fail the closure check and are replenished.
+    # 0 = all levels (the reference's behavior).
+    #
+    # Default 1, settled by the round-5 texture ablation
+    # (TEXTURE_ABLATION_r05.json): skip=2 (the round-4 default, ~205 FPS
+    # steady) is accuracy-green on every value-noise gauntlet course but
+    # FAILS catastrophically on the periodic "checker" family (ATE 13-15 m
+    # vs a 1.28 m budget — lattice-aliased matches shift all four circular
+    # legs by the same period, so the closure check cannot catch them and
+    # PnP locks a coherent wrong pose). skip=1 is green on BOTH families
+    # (~152 FPS steady, still 1.3x the skip=0 path's ~116). skip=2 remains
+    # the measured fast mode for natural-texture (~1/f) content via
+    # --lk-seed-skip-levels 2; the bench reports it as fps_fast_mode.
+    lk_seed_skip_levels: int = 1
 
     def __post_init__(self):
         if self.detector not in ("fast", "shi-tomasi"):

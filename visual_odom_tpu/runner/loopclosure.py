@@ -66,7 +66,12 @@ def measure_loop_edge(frame_i, frame_j, config: VOConfig,
     from visual_odom_tpu.runner.pipeline import VisualOdometry
     import dataclasses
 
-    cfg = dataclasses.replace(config, lk_seed_skip_levels=0)
+    # No seeded level skip (no motion prior between non-consecutive
+    # frames) and no pipeline inlier floor: edge acceptance is governed by
+    # close_loops' own min_edge_inliers + the bidirectional consistency
+    # check, not the frame-loop gate.
+    cfg = dataclasses.replace(config, lk_seed_skip_levels=0,
+                              min_accept_inliers=0)
     vo = VisualOdometry(cfg, intrinsics, seed=seed)
     vo.initialize(frame_i[0], frame_i[1])
     r = vo.process_frame(frame_j[0], frame_j[1])
