@@ -167,6 +167,9 @@ def _cmd_run(args) -> int:
             poses, fetched, wall, processed, snaps = run_sequence_scan(
                 frames, cfg, intr, chunk=args.chunk, collect_tracks=True,
                 upload_threads=args.upload_threads)
+            ba_kw = dict(max_landmarks=args.ba_landmarks,
+                         min_track_len=args.ba_min_track_len,
+                         huber_delta=args.ba_huber)
             solver = None
             if args.ba_ring:
                 import jax
@@ -182,7 +185,7 @@ def _cmd_run(args) -> int:
                 solver = make_ring_window_solver(mesh)
             poses = smooth_trajectory_ba(snaps, poses, intr,
                                          window=args.ba_window,
-                                         solver=solver)
+                                         solver=solver, **ba_kw)
         else:
             poses, fetched, wall, processed = run_sequence_scan(
                 frames, cfg, intr, chunk=args.chunk,
@@ -266,7 +269,10 @@ def _cmd_run(args) -> int:
                 solver = make_ring_window_solver(mesh)
             poses = smooth_trajectory_ba(snaps, poses, intr,
                                          window=args.ba_window,
-                                         solver=solver)
+                                         solver=solver,
+                                         max_landmarks=args.ba_landmarks,
+                                         min_track_len=args.ba_min_track_len,
+                                         huber_delta=args.ba_huber)
             if args.output:
                 save_poses_kitti(args.output, poses)
         else:
@@ -460,7 +466,16 @@ def main(argv=None) -> int:
     pr.add_argument("--tracks-every", type=int, default=50)
     pr.add_argument("--ba-window", type=int, default=0,
                     help="smooth the trajectory with windowed bundle "
-                         "adjustment over N-frame windows (0 = off)")
+                         "adjustment over N-frame windows (0 = off; "
+                         "short courses: 8; km-scale: 16 with "
+                         "--ba-min-track-len 4 --ba-huber 1.0 — "
+                         "SOAK_r05.json ba_tune_rows)")
+    pr.add_argument("--ba-landmarks", type=int, default=256,
+                    help="landmark capacity per BA window")
+    pr.add_argument("--ba-min-track-len", type=int, default=3,
+                    help="min frames a track must span to enter BA")
+    pr.add_argument("--ba-huber", type=float, default=1.5,
+                    help="Huber delta (px) for the BA robust loss")
     pr.add_argument("--ba-ring", type=int, nargs="?", const=-1, default=0,
                     help="shard each BA window's solve over a device ring "
                          "(optionally: number of devices; default all). "
