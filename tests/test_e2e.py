@@ -310,3 +310,38 @@ def test_parallel_uploader_matches_single_thread():
     assert stats["chunks"] == 4  # chunk 0 uploads before the pool starts
     assert len(stats["per_thread"]) == 3
     assert stats["agg_upload_mb_s"] >= 0
+
+
+def test_adaptive_skip_mode_branches():
+    """lk_skip_mode="adaptive" (self-verifying fast path): the per-frame
+    probe decides IN-PROGRAM between the fast and safe quads. Forcing the
+    probe threshold to its extremes must reproduce the two fixed-mode
+    trajectories bitwise — proving both cond branches are live and exactly
+    the fixed-path computations (TEXTURE_ABLATION_r05.json motivates the
+    probe; the accuracy validation is on-chip at KITTI scale)."""
+    import numpy as np
+
+    from visual_odom_tpu.config import CameraIntrinsics, VOConfig
+    from visual_odom_tpu.io.synthetic import SyntheticStereoSequence
+    from visual_odom_tpu.runner.pipeline import run_sequence_scan
+
+    intr = CameraIntrinsics(fx=120.0, fy=120.0, cx=W / 2, cy=H / 2,
+                            bf=-120.0 * 0.54, width=W, height=H)
+    seq = SyntheticStereoSequence(intr, num_frames=17, seed=0, speed=0.5)
+    frames = list(seq)
+
+    def run(**kw):
+        cfg = VOConfig.for_image(H, W, ransac_iterations=150, **kw)
+        poses, fetched, _, _ = run_sequence_scan(frames, cfg, intr, chunk=8)
+        return poses, fetched
+
+    p_fast, f_fast = run(lk_skip_mode="fixed", lk_seed_skip_levels=2)
+    p_safe, f_safe = run(lk_skip_mode="fixed", lk_seed_skip_levels=1)
+    # Huge tolerance: probe never disagrees -> always the fast branch.
+    p_ad_fast, _ = run(lk_skip_mode="adaptive", lk_probe_px=1e6)
+    np.testing.assert_array_equal(p_ad_fast, p_fast)
+    # Zero tolerance: probe always disagrees -> always the safe branch.
+    p_ad_safe, _ = run(lk_skip_mode="adaptive", lk_probe_px=-1.0)
+    np.testing.assert_array_equal(p_ad_safe, p_safe)
+    # Sanity: the two fixed modes genuinely differ on this course.
+    assert not np.array_equal(p_fast, p_safe)

@@ -222,6 +222,25 @@ class VOConfig:
     # the measured fast mode for natural-texture (~1/f) content via
     # --lk-seed-skip-levels 2; the bench reports it as fps_fast_mode.
     lk_seed_skip_levels: int = 1
+    # --- self-verifying adaptive skip (beyond-reference) ---
+    # "adaptive": every frame runs the FAST quad (lk_fast_skip_levels
+    # coarse levels skipped) plus a compact 64-feature PROBE tracked at the
+    # safe skip level; where the two disagree (> lk_probe_px on >
+    # lk_probe_disagree_frac of comparable probe tracks — the lattice-
+    # aliasing signature TEXTURE_ABLATION_r05.json measured), the frame
+    # falls back in-program (lax.cond) to a full safe-level re-track. Fast
+    # on natural content, safe-quality on adversarial-periodic content,
+    # zero host involvement. "fixed" = always lk_seed_skip_levels.
+    #
+    # Default "adaptive", validated on-chip (round 5): checker-family
+    # courses green at safe-level quality (ATE 0.83/0.12 m vs the
+    # unguarded fast mode's 13-15 m), value-noise steady-state 169 FPS
+    # (vs 152 fixed-safe / 205 unguarded-fast) — the probe tax buys back
+    # most of the fast mode's throughput WITH texture robustness.
+    lk_skip_mode: str = "adaptive"
+    lk_fast_skip_levels: int = 2
+    lk_probe_px: float = 0.3
+    lk_probe_disagree_frac: float = 0.05
 
     def __post_init__(self):
         if self.detector not in ("fast", "shi-tomasi"):
@@ -235,6 +254,13 @@ class VOConfig:
             raise ValueError(
                 f"lk_seed_skip_levels must be in [0, lk_levels="
                 f"{self.lk_levels}], got {self.lk_seed_skip_levels}")
+        if self.lk_skip_mode not in ("fixed", "adaptive"):
+            raise ValueError(f"lk_skip_mode must be 'fixed' or 'adaptive', "
+                             f"got {self.lk_skip_mode!r}")
+        if not 0 <= self.lk_fast_skip_levels <= self.lk_levels:
+            raise ValueError(
+                f"lk_fast_skip_levels must be in [0, lk_levels="
+                f"{self.lk_levels}], got {self.lk_fast_skip_levels}")
 
     def resolved_lk_backend(self) -> str:
         if self.lk_backend is not None:

@@ -168,3 +168,60 @@ def commit_tracked_state(result: CircularMatchResult) -> FeatureState:
         flow=jnp.where(v, result.points_l1 - result.points_l0, 0.0),
         disp=jnp.where(v, result.points_r1 - result.points_l1, 0.0),
     )
+
+
+def skip_mode_match(img_l0, img_r0, img_l1, img_r1, bucketed, params,
+                    config, backend):
+    """Circular match under VOConfig's skip policy — the ONE entry point
+    the sequential, scan, batched and pipelined front doors all share (so
+    their outputs stay bitwise-comparable).
+
+    "fixed": one quad at the configured safe level.
+
+    "adaptive" (config.lk_skip_mode docstring — the self-verifying fast
+    path): every frame runs the FAST quad (lk_fast_skip_levels skipped)
+    plus a compact 64-slot PROBE tracked at the safe level; a frame whose
+    probe disagrees (> lk_probe_px on > lk_probe_disagree_frac of
+    comparable tracks, or too few comparable tracks to judge) re-tracks
+    everything at the safe level inside lax.cond. Lattice aliasing on
+    periodic texture shifts all four legs by the same period, so the
+    circular-closure check cannot catch it — the safe-level probe can
+    (TEXTURE_ABLATION_r05.json; thresholds validated on-chip: checker
+    family green at safe-level quality, value-noise throughput ~169 FPS
+    steady vs 152 fixed-safe / 205 unguarded-fast)."""
+    import numpy as np
+
+    sl_safe = (config.lk_levels - config.lk_seed_skip_levels
+               if config.lk_seed_skip_levels else None)
+
+    def match_at(feats, start_level):
+        return circular_match(
+            img_l0, img_r0, img_l1, img_r1, feats,
+            params, config.circle_threshold, backend,
+            seeding=config.predictive_seeding,
+            seed_start_level=start_level)
+
+    if not (config.lk_skip_mode == "adaptive"
+            and config.predictive_seeding
+            and config.lk_fast_skip_levels > config.lk_seed_skip_levels):
+        return match_at(bucketed, sl_safe)
+
+    sl_fast = config.lk_levels - config.lk_fast_skip_levels
+    match_fast = match_at(bucketed, sl_fast)
+    P = bucketed.points.shape[0]
+    idx = np.arange(0, P, max(1, P // 64))[:64]
+    probe_feats = jax.tree.map(
+        lambda a: a[idx] if getattr(a, "ndim", 0) >= 1 else a, bucketed)
+    probe = match_at(probe_feats, sl_safe)
+    both = probe.valid & match_fast.valid[idx]
+    d = jnp.max(jnp.abs(probe.points_l1 - match_fast.points_l1[idx]),
+                axis=1)
+    n_both = jnp.sum(both)
+    n_bad = jnp.sum(both & (d > config.lk_probe_px))
+    aliased = (n_bad > config.lk_probe_disagree_frac
+               * jnp.maximum(1, n_both)) | (n_both < 8)
+    return jax.lax.cond(
+        aliased,
+        lambda _: match_at(bucketed, sl_safe),
+        lambda _: match_fast,
+        operand=None)

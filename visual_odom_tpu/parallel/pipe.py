@@ -43,7 +43,7 @@ from visual_odom_tpu.core.triangulate import triangulate_points
 from visual_odom_tpu.frontend.bucketing import detect_and_bucket
 from visual_odom_tpu.frontend.featureset import empty_feature_state
 from visual_odom_tpu.frontend.matching import (
-    circular_match,
+    skip_mode_match,
     commit_tracked_state,
 )
 from visual_odom_tpu.runner.pipeline import (
@@ -87,12 +87,8 @@ def run_sequence_pipelined(
         h, w = lk_l0.shapes[0]
         raw_l0 = jax.lax.dynamic_slice(lk_l0.pyramid[0], (pad, pad), (h, w))
         bucketed = detect_and_bucket(raw_l0, feats, config)
-        match = circular_match(lk_l0, lk_r0, lk_l1, lk_r1, bucketed,
-                               params, config.circle_threshold, lk_backend,
-                               seeding=config.predictive_seeding,
-                               seed_start_level=(
-                                   config.lk_levels - config.lk_seed_skip_levels
-                                   if config.lk_seed_skip_levels else None))
+        match = skip_mode_match(lk_l0, lk_r0, lk_l1, lk_r1, bucketed,
+                                params, config, lk_backend)
         packet = jnp.concatenate(
             [match.points_l0, match.points_r0, match.points_l1,
              match.valid[:, None].astype(jnp.float32)], axis=1)

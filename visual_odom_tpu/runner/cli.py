@@ -40,6 +40,10 @@ _CONFIG_FLAGS = [
     ("lk-eps", "lk_eps", float),
     ("lk-min-eig", "lk_min_eig_threshold", float),
     ("lk-seed-skip-levels", "lk_seed_skip_levels", int),
+    ("lk-skip-mode", "lk_skip_mode", str),          # fixed | adaptive
+    ("lk-fast-skip-levels", "lk_fast_skip_levels", int),
+    ("lk-probe-px", "lk_probe_px", float),
+    ("lk-probe-frac", "lk_probe_disagree_frac", float),
     ("circle-threshold", "circle_threshold", float),
     ("ransac-iters", "ransac_iterations", int),
     ("ransac-reproj", "ransac_reproj_threshold", float),

@@ -34,7 +34,10 @@ from visual_odom_tpu.config import CameraIntrinsics, VOConfig
 from visual_odom_tpu.core.triangulate import triangulate_points
 from visual_odom_tpu.frontend.bucketing import detect_and_bucket
 from visual_odom_tpu.frontend.featureset import FeatureState, empty_feature_state
-from visual_odom_tpu.frontend.matching import circular_match, commit_tracked_state
+from visual_odom_tpu.frontend.matching import (
+    commit_tracked_state,
+    skip_mode_match,
+)
 from visual_odom_tpu.backend.integrate import gate_and_integrate
 from visual_odom_tpu.backend.pnp import pnp_ransac
 from visual_odom_tpu.ops.lk import LKImage, LKParams, prepare_lk_image
@@ -121,14 +124,12 @@ def make_step_fn(config: VOConfig, intrinsics: CameraIntrinsics,
         bucketed = detect_and_bucket(raw_l0, state.features, config)
 
         # -- circular matching across the quad ------------------------------
-        match = circular_match(
-            state.lk_l0, state.lk_r0, lk_l1, lk_r1, bucketed,
-            params, config.circle_threshold, lk_backend,
-            seeding=config.predictive_seeding,
-            seed_start_level=(
-                config.lk_levels - config.lk_seed_skip_levels
-                if config.lk_seed_skip_levels else None),
-        )
+        # skip_mode_match applies VOConfig's skip policy ("fixed" safe
+        # level, or the "adaptive" self-verifying fast path with its
+        # safe-level probe + in-program fallback) — shared with the
+        # pipelined front door so outputs stay bitwise-comparable.
+        match = skip_mode_match(state.lk_l0, state.lk_r0, lk_l1, lk_r1,
+                                bucketed, params, config, lk_backend)
 
         # -- triangulation of t0 stereo pairs -------------------------------
         pts3d = triangulate_points(P_l, P_r, match.points_l0, match.points_r0)
