@@ -63,10 +63,10 @@ def main():
 
     rows = []
     for (win, lms, mtl, hub) in [
-        (8, 256, 3, 1.5),      # SOAK_r05 first-cut config
-        (16, 384, 3, 1.5),
-        (32, 512, 4, 1.5),
-        (16, 384, 4, 1.0),
+        (16, 384, 4, 1.0),     # the skip-1-chain pick (re-check on this chain)
+        (16, 384, 5, 0.8),
+        (12, 320, 4, 1.0),
+        (24, 448, 5, 1.0),
         (32, 512, 6, 1.0),
     ]:
         t0 = time.perf_counter()

@@ -30,7 +30,10 @@ def main():
     ap.add_argument("--frames", type=int, default=1025)
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--threads", type=int, default=4)
-    ap.add_argument("--ba-window", type=int, default=8)
+    ap.add_argument("--ba-window", type=int, default=16)
+    ap.add_argument("--ba-min-track-len", type=int, default=5)
+    ap.add_argument("--ba-huber", type=float, default=0.8)
+    ap.add_argument("--ba-landmarks", type=int, default=384)
     ap.add_argument("--out", default="SOAK_r05.json")
     args = ap.parse_args()
 
@@ -51,7 +54,8 @@ def main():
 
     out = {"course": "long", "frames": args.frames, "chunk": args.chunk,
            "upload_threads": args.threads,
-           "config": {"lk_seed_skip_levels": cfg.lk_seed_skip_levels,
+           "config": {"lk_skip_mode": cfg.lk_skip_mode,
+                      "lk_seed_skip_levels": cfg.lk_seed_skip_levels,
                       "min_accept_inliers":
                           cfg.resolved_min_accept_inliers()}}
 
@@ -85,10 +89,14 @@ def main():
     }
     print(out["runB_with_tracks"], flush=True)
 
-    # BA smoothing over the scan-collected tracks.
+    # BA smoothing over the scan-collected tracks (km-scale config from
+    # the committed sweep — SOAK ba_tune_rows / PERF_NOTES round 5).
     t0 = time.perf_counter()
     smoothed = smooth_trajectory_ba(snaps, poses_b[: len(snaps) + 1], intr,
-                                    window=args.ba_window)
+                                    window=args.ba_window,
+                                    max_landmarks=args.ba_landmarks,
+                                    min_track_len=args.ba_min_track_len,
+                                    huber_delta=args.ba_huber)
     ba_wall = time.perf_counter() - t0
     ate_chain = ate(poses_b)
     ate_ba = ate(smoothed)

@@ -46,7 +46,10 @@ def main():
         course_len = float(np.sum(np.linalg.norm(
             np.diff(gt[:, :3, 3], axis=0), axis=1)))
         for skip in (0, 2):
+            # Pin fixed mode: this artifact measures the raw skip levels
+            # (the adaptive default would guard the skip under test).
             cfg = VOConfig.for_image(args.height, args.width,
+                                     lk_skip_mode="fixed",
                                      lk_seed_skip_levels=skip)
             poses, fetched, _, _ = run_sequence_scan(
                 frames, cfg, intr, chunk=args.chunk, preupload=True)
