@@ -166,15 +166,15 @@ def main():
     ap.add_argument("--width", type=int, default=1241)
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--checkpoint-every", type=int, default=256)
-    ap.add_argument("--min-inliers", type=int, default=0,
+    ap.add_argument("--min-inliers", type=int, default=-1,
                     help="VOConfig.min_accept_inliers (beyond-reference "
                          "scene-cut floor; 0 = reference gate semantics)")
     ap.add_argument("--laps", type=int, default=1,
                     help="repeat the course N times (lap seams are "
                          "teleports the gate must reject + recover from; "
                          "each lap is scored re-anchored)")
-    ap.add_argument("--out", default="SOAK_r04.json")
-    ap.add_argument("--artifacts", default="artifacts/soak_r04")
+    ap.add_argument("--out", default="SOAK_LAPS_r05.json")
+    ap.add_argument("--artifacts", default="artifacts/soak_r05")
     args = ap.parse_args()
 
     from bench import enable_compile_cache, render_course
@@ -207,7 +207,7 @@ def main():
     _, _, wall1, done1 = run_sequence_scan_resumable(
         seq, cfg, intr, checkpoint_path=ck,
         checkpoint_every=args.checkpoint_every, chunk=args.chunk,
-        max_frames=mid)
+        max_frames=mid, upload_threads=4)
     print(f"phase 1: {done1} steps in {wall1:.1f}s "
           f"({done1 / wall1:.1f} FPS)", flush=True)
 
@@ -216,7 +216,7 @@ def main():
     poses, fetched, wall2, done2 = run_sequence_scan_resumable(
         seq, cfg, intr, checkpoint_path=ck,
         checkpoint_every=args.checkpoint_every, chunk=args.chunk,
-        stats_out=stats)
+        stats_out=stats, upload_threads=4)
     n_steps = len(fetched.accept)
     fps2 = done2 / wall2 if wall2 else 0.0
     print(f"phase 2: resumed, {done2} steps in {wall2:.1f}s "
