@@ -64,6 +64,12 @@ def _make_sharded_step(config: VOConfig, intrinsics: CameraIntrinsics):
         left = _constrain(left, P("data", None, None))
         right = _constrain(right, P("data", None, None))
         state = shard_state(state)
+        # Note on lk_skip_mode="adaptive" (the default): under vmap the
+        # per-frame lax.cond lowers to a SELECT — both the fast and safe
+        # quads run for every sequence (per-sequence adaptivity, results
+        # identical to the single-sequence runner's, at fast+safe cost).
+        # Throughput-critical DP sweeps on known-natural content should
+        # pass --lk-skip-mode fixed (vo run-batch forwards the flag).
         new_state, out = jax.vmap(raw)(state, left, right)
         return shard_state(new_state), out
 

@@ -396,7 +396,7 @@ def _cmd_run_batch(args) -> int:
         seqs.append(_Limited(KittiSequence(d), args.max_frames))
         names.append(os.path.basename(os.path.normpath(d)))
     h, w = seqs[0].frame(0)[0].shape
-    cfg = VOConfig.for_image(h, w)
+    cfg = config_from_args(args, h, w)
     mesh = data_model_mesh(data=args.data_parallel or None)
     poses_list, stats, wall = run_sequences_batched(
         seqs, cfg, intr, mesh, chunk=args.chunk,
@@ -513,6 +513,7 @@ def main(argv=None) -> int:
     prb.add_argument("--checkpoint-every", type=int, default=256,
                      help="batched snapshot interval in frames (rounded "
                           "up to a chunk multiple)")
+    add_config_flags(prb)
     prb.set_defaults(fn=_cmd_run_batch)
 
     pe = sub.add_parser("eval", help="KITTI devkit scoring")
