@@ -28,7 +28,9 @@ def main():
     ap.add_argument("--frames", type=int, default=161)
     ap.add_argument("--height", type=int, default=376)
     ap.add_argument("--width", type=int, default=1241)
-    ap.add_argument("--out", default="SCALING_tpu_r03.json")
+    ap.add_argument("--out", default="SCALING_tpu_r05.json")
+    ap.add_argument("--lk-skip-mode", default=None,
+                    help="override VOConfig.lk_skip_mode (under vmap the adaptive cond lowers to a both-branches select; 'fixed' is the DP-throughput mode)")
     args = ap.parse_args()
 
     import jax
@@ -40,7 +42,9 @@ def main():
     from visual_odom_tpu.parallel.mesh import make_mesh
 
     backend = jax.default_backend()
-    cfg = VOConfig.for_image(args.height, args.width)
+    kw = ({"lk_skip_mode": args.lk_skip_mode}
+          if args.lk_skip_mode else {})
+    cfg = VOConfig.for_image(args.height, args.width, **kw)
 
     courses = {}
     gts = {}
