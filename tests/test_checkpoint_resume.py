@@ -192,3 +192,55 @@ def test_cli_run_chunked_with_checkpoint(tmp_path):
                "--output", str(tmp_path / "p2.txt"), "--quiet"])
     assert rc == 0
     assert (tmp_path / "p2.txt").read_text() == (tmp_path / "p.txt").read_text()
+
+
+def test_scan_resume_with_tracks_bitwise(tmp_path):
+    """collect_tracks on the resumable fast path: snapshots persist the
+    per-frame track emissions (trk_* keys), so a crashed+resumed run hands
+    windowed BA the same complete track list — poses AND every
+    TrackSnapshot bitwise-equal to the uninterrupted run."""
+    import pytest
+
+    from visual_odom_tpu.runner.pipeline import run_sequence_scan_resumable
+    from visual_odom_tpu.utils.checkpoint import (
+        CorruptCheckpoint,
+        load_scan_checkpoint,
+    )
+
+    seq, cfg, intr = _setup(42)
+    ck_full = str(tmp_path / "full_trk.npz")
+    poses_full, fetched_full, _, _, snaps_full = run_sequence_scan_resumable(
+        seq, cfg, intr, checkpoint_path=ck_full, checkpoint_every=16,
+        chunk=8, collect_tracks=True)
+    assert len(snaps_full) == 41
+
+    ck = str(tmp_path / "crash_trk.npz")
+    flaky = _FlakySeq(seq, crash_at=30)
+    with pytest.raises(RuntimeError, match="injected"):
+        run_sequence_scan_resumable(
+            flaky, cfg, intr, checkpoint_path=ck, checkpoint_every=16,
+            chunk=8, collect_tracks=True)
+    poses_res, fetched_res, _, done_res, snaps_res = \
+        run_sequence_scan_resumable(
+            seq, cfg, intr, checkpoint_path=ck, checkpoint_every=16,
+            chunk=8, collect_tracks=True)
+    assert done_res < 41
+    np.testing.assert_array_equal(poses_res, poses_full)
+    assert len(snaps_res) == len(snaps_full)
+    for a, b in zip(snaps_res, snaps_full):
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+    # A snapshot WITHOUT track emissions cannot resume a collect_tracks
+    # run: rejected as incompatible (fresh start), not silently resumed
+    # with a truncated track list.
+    ck_plain = str(tmp_path / "plain.npz")
+    with pytest.raises(RuntimeError, match="injected"):
+        run_sequence_scan_resumable(
+            _FlakySeq(seq, crash_at=30), cfg, intr,
+            checkpoint_path=ck_plain, checkpoint_every=16, chunk=8)
+    poses_mixed, _, _, done_mixed, snaps_mixed = run_sequence_scan_resumable(
+        seq, cfg, intr, checkpoint_path=ck_plain, checkpoint_every=16,
+        chunk=8, collect_tracks=True)
+    assert done_mixed == 41  # fresh start: the whole run was redone
+    np.testing.assert_array_equal(poses_mixed, poses_full)

@@ -136,23 +136,21 @@ def _cmd_run(args) -> int:
             print("--chunk is the no-host-sync fast path; it cannot emit "
                   "per-frame metrics/tracks — drop --chunk or those flags")
             return 1
-        if args.ba_window and args.checkpoint:
-            print("--ba-window on the fast path does not checkpoint yet — "
-                  "drop --checkpoint or --ba-window")
-            return 1
         from visual_odom_tpu.io.kitti import save_poses_kitti
         from visual_odom_tpu.runner.pipeline import (
             run_sequence_scan,
             run_sequence_scan_resumable,
         )
 
+        collect = bool(args.ba_window)
+        snaps = None
         if args.checkpoint:
             seq_obj = locals().get("kseq") or locals().get("seq")
             if seq_obj is None or not hasattr(seq_obj, "frame"):
                 print("--checkpoint needs a random-access sequence "
                       "(KITTI dir or synthetic)")
                 return 1
-            poses, fetched, wall, processed = run_sequence_scan_resumable(
+            out = run_sequence_scan_resumable(
                 seq_obj, cfg, intr,
                 checkpoint_path=args.checkpoint,
                 checkpoint_every=args.checkpoint_every,
@@ -160,20 +158,25 @@ def _cmd_run(args) -> int:
                 max_frames=args.max_frames,
                 verbose=not args.quiet,
                 upload_threads=args.upload_threads,
+                collect_tracks=collect,
             )
-        elif args.ba_window:
+        else:
+            out = run_sequence_scan(
+                frames, cfg, intr, chunk=args.chunk,
+                collect_tracks=collect,
+                upload_threads=args.upload_threads)
+        if collect:
+            poses, fetched, wall, processed, snaps = out
+        else:
+            poses, fetched, wall, processed = out
+        if args.ba_window:
             # Scan-speed BA: the scan emits compact per-frame TrackSnapshots
-            # as extra ys (make_scan_step_fn with_tracks), so windowed-BA
-            # smoothing no longer needs the ~10x slower interactive runner
+            # as extra ys (make_scan_step_fn with_tracks, checkpointed as
+            # trk_* keys on the resumable path), so windowed-BA smoothing
+            # no longer needs the ~10x slower interactive runner
             # (VERDICT r4 weak #4).
             from visual_odom_tpu.ba.window import smooth_trajectory_ba
 
-            poses, fetched, wall, processed, snaps = run_sequence_scan(
-                frames, cfg, intr, chunk=args.chunk, collect_tracks=True,
-                upload_threads=args.upload_threads)
-            ba_kw = dict(max_landmarks=args.ba_landmarks,
-                         min_track_len=args.ba_min_track_len,
-                         huber_delta=args.ba_huber)
             solver = None
             if args.ba_ring:
                 import jax
@@ -187,13 +190,12 @@ def _cmd_run(args) -> int:
                 n_dev = min(args.ba_ring, avail) if args.ba_ring > 0 else avail
                 mesh = make_mesh({"seq": n_dev})
                 solver = make_ring_window_solver(mesh)
-            poses = smooth_trajectory_ba(snaps, poses, intr,
-                                         window=args.ba_window,
-                                         solver=solver, **ba_kw)
-        else:
-            poses, fetched, wall, processed = run_sequence_scan(
-                frames, cfg, intr, chunk=args.chunk,
-                upload_threads=args.upload_threads)
+            poses = smooth_trajectory_ba(snaps, poses[: len(snaps) + 1],
+                                         intr, window=args.ba_window,
+                                         solver=solver,
+                                         max_landmarks=args.ba_landmarks,
+                                         min_track_len=args.ba_min_track_len,
+                                         huber_delta=args.ba_huber)
         if not args.quiet and processed:
             print(f"{processed} frames in {wall:.2f}s "
                   f"({processed / wall:.1f} FPS)")

@@ -871,6 +871,7 @@ def run_sequence_scan_resumable(
     verbose: bool = False,
     stats_out: Optional[dict] = None,
     upload_threads: int = 1,
+    collect_tracks: bool = False,
 ):
     """Chunked-scan runner with chunk-boundary checkpointing + crash resume
     — the FAST path's checkpointing (VERDICT.md round-3 weak #5: the
@@ -894,6 +895,14 @@ def run_sequence_scan_resumable(
     npz write; the round-4 soak ran 1,024 KITTI-size frames with 4
     snapshots at 34-38 FPS streamed, upload-bound (SOAK_r04.json), so the
     snapshot cost is in the noise at production checkpoint intervals.
+
+    ``collect_tracks`` emits per-frame TrackSnapshots through the scan
+    (make_scan_step_fn with_tracks) and persists them in every snapshot
+    (trk_* keys, ~19 kB/frame), so a resumed run hands windowed BA the
+    same complete track list an uninterrupted one would; a fifth return
+    element carries the per-frame snapshot list. A snapshot without
+    trk_* keys cannot resume a collect_tracks run (rejected as
+    incompatible, fresh start).
     """
     import os
 
@@ -910,6 +919,7 @@ def run_sequence_scan_resumable(
 
     start_step = 0
     prev_fetched = None
+    prev_tracks = None
     state = None
     if checkpoint_path and os.path.exists(checkpoint_path):
         try:
@@ -920,6 +930,16 @@ def run_sequence_scan_resumable(
                     f"cursor {start_step} beyond sequence ({n_steps} steps)")
             prev_fetched = StepOutput(**{
                 k: ck["out_" + k] for k in StepOutput._fields})
+            if collect_tracks:
+                missing = [k for k in TrackSnapshot._fields
+                           if "trk_" + k not in ck]
+                if missing:
+                    raise CorruptCheckpoint(
+                        f"snapshot carries no track emissions "
+                        f"(missing trk_{missing[0]}) — cannot resume a "
+                        f"collect_tracks run from it")
+                prev_tracks = TrackSnapshot(**{
+                    k: ck["trk_" + k] for k in TrackSnapshot._fields})
             if start_step < n_steps:
                 left_k, right_k = seq.frame(start_step)
                 state = restore_scan_state(config, intrinsics, ck, left_k,
@@ -934,18 +954,27 @@ def run_sequence_scan_resumable(
                   file=sys.stderr)
             start_step = 0
             prev_fetched = None
+            prev_tracks = None
             state = None
-    def _finish(fetched, wall, processed):
+
+    def _snap_list(tracks):
+        return [jax.tree.map(lambda x: x[i], tracks)
+                for i in range(len(tracks.valid))]
+
+    def _finish(fetched, tracks, wall, processed):
         poses = chain_poses_host(fetched.T_inv, fetched.accept)
+        if collect_tracks:
+            return poses, fetched, wall, processed, _snap_list(tracks)
         return poses, fetched, wall, processed
 
     if start_step >= n_steps:  # checkpoint already covers the whole run
-        return _finish(prev_fetched, 0.0, 0)
+        return _finish(prev_fetched, prev_tracks, 0.0, 0)
     if state is None:
         l0, r0 = seq.frame(0)
         state = init_vo_state(config, intrinsics, l0, r0, seed)
 
-    scan = make_scan_step_fn(config, intrinsics, chunk)
+    scan = make_scan_step_fn(config, intrinsics, chunk,
+                             with_tracks=collect_tracks)
     pack = _make_snapshot_packer(config)
     if warmup:
         lw, rw = seq.frame(min(start_step + 1, n_steps))
@@ -972,18 +1001,32 @@ def run_sequence_scan_resumable(
         up = _ChunkUploader(chunks, maxsize=2, stats_out=stats_out)
 
     fetched_np: list = []       # numpy StepOutput stacks, one per chunk
-    pending: list = []          # device StepOutput stacks not yet fetched
+    tracks_np: list = []        # numpy TrackSnapshot stacks (collect_tracks)
+    pending: list = []          # device stacks not yet fetched
     steps_done = start_step
 
     def _fetch_pending():
         while pending:
-            fetched_np.append(jax.tree.map(np.asarray, pending.pop(0)))
+            item = jax.tree.map(np.asarray, pending.pop(0))
+            if collect_tracks:
+                fetched_np.append(item[0])
+                tracks_np.append(item[1])
+            else:
+                fetched_np.append(item)
 
-    def _all_fetched():
-        parts = ([prev_fetched] if prev_fetched is not None else []) \
-            + fetched_np
+    def _cat(parts):
         cat = jax.tree.map(lambda *xs: np.concatenate(xs), *parts)
         return jax.tree.map(lambda x: x[:steps_done], cat)
+
+    def _all_fetched():
+        return _cat(([prev_fetched] if prev_fetched is not None else [])
+                    + fetched_np)
+
+    def _all_tracks():
+        if not collect_tracks:
+            return None
+        return _cat(([prev_tracks] if prev_tracks is not None else [])
+                    + tracks_np)
 
     t0 = time.perf_counter()
     try:
@@ -1004,7 +1047,8 @@ def run_sequence_scan_resumable(
                                               np.asarray(i32v))
                     _fetch_pending()
                     save_scan_checkpoint(checkpoint_path, steps_done,
-                                         arrays, _all_fetched())
+                                         arrays, _all_fetched(),
+                                         tracks=_all_tracks())
                     if verbose:
                         print(f"checkpoint @ step {steps_done}")
             cur = up.get()
@@ -1017,7 +1061,7 @@ def run_sequence_scan_resumable(
 
     fetched = _all_fetched()
     processed = steps_done - start_step
-    return _finish(fetched, wall, processed)
+    return _finish(fetched, _all_tracks(), wall, processed)
 
 
 def _make_raw_step(config: VOConfig, intrinsics: CameraIntrinsics):

@@ -102,18 +102,24 @@ _SCAN_REQUIRED = ("frames_done", "points", "ages", "valid", "ids", "next_id",
 
 
 def save_scan_checkpoint(path: str, frames_done: int, state_arrays: dict,
-                         fetched_outputs) -> None:
+                         fetched_outputs, tracks=None) -> None:
     """Snapshot a scan run at a chunk boundary. ``state_arrays`` holds the
     VOState's resumable arrays as host numpy (points/ages/valid/ids/next_id/
     flow/disp/tvec/key — the runner fetches them as two packed vectors to
     pay two tunnel round trips, not nine); ``fetched_outputs`` is the numpy
-    StepOutput stack of the ``frames_done`` steps so far."""
+    StepOutput stack of the ``frames_done`` steps so far. ``tracks`` (a
+    stacked TrackSnapshot pytree, optional) persists the per-frame track
+    emissions of a collect_tracks run (~19 kB/frame) so windowed BA can
+    resume with the outputs."""
     payload = {"frames_done": np.int64(frames_done)}
     for k in ("points", "ages", "valid", "ids", "next_id", "flow", "disp",
               "tvec", "key"):
         payload[k] = np.asarray(state_arrays[k])
     for k, v in fetched_outputs._asdict().items():
         payload["out_" + k] = np.asarray(v)
+    if tracks is not None:
+        for k, v in tracks._asdict().items():
+            payload["trk_" + k] = np.asarray(v)
     _atomic_savez(path, payload)
 
 
