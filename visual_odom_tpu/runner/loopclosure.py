@@ -66,11 +66,13 @@ def measure_loop_edge(frame_i, frame_j, config: VOConfig,
     from visual_odom_tpu.runner.pipeline import VisualOdometry
     import dataclasses
 
-    # No seeded level skip (no motion prior between non-consecutive
-    # frames) and no pipeline inlier floor: edge acceptance is governed by
-    # close_loops' own min_edge_inliers + the bidirectional consistency
-    # check, not the frame-loop gate.
-    cfg = dataclasses.replace(config, lk_seed_skip_levels=0,
+    # Fixed full-pyramid tracking (no motion prior exists between
+    # non-consecutive frames, and the adaptive probe would only burn a
+    # fallback per frame here) and no pipeline inlier floor: edge
+    # acceptance is governed by close_loops' own min_edge_inliers + the
+    # bidirectional consistency check, not the frame-loop gate.
+    cfg = dataclasses.replace(config, lk_skip_mode="fixed",
+                              lk_seed_skip_levels=0,
                               min_accept_inliers=0)
     vo = VisualOdometry(cfg, intrinsics, seed=seed)
     vo.initialize(frame_i[0], frame_i[1])
