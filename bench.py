@@ -334,8 +334,12 @@ def main():
                     help="comma-separated gauntlet courses to run "
                          "(long/loop use their own frame counts, "
                          "see COURSE_FRAMES)")
-    ap.add_argument("--chunk", type=int, default=64,
-                    help="scan chunk size (frames per device dispatch)")
+    ap.add_argument("--chunk", type=int, default=32,
+                    help="scan chunk size (frames per device dispatch). "
+                         "Default 32: every gauntlet course's step count "
+                         "(160/704/1024) is an exact multiple, so the "
+                         "timed wall contains zero tail-padding compute "
+                         "(per-dispatch cost is ~0 — DISPATCH_SWEEP_r05)")
     ap.add_argument("--lk-seed-skip-levels", type=int, default=None,
                     help="VOConfig.lk_seed_skip_levels override (0 is a "
                          "valid override: reference all-levels behavior)")

@@ -700,8 +700,12 @@ def run_sequence_scan(
     Returns (poses (N+1, 4, 4) f64, fetched StepOutput stack as numpy,
     wall_seconds, frames_processed) where wall_seconds covers the
     steady-state device pipeline (compile + first-execution program load
-    excluded when ``warmup``; the tail chunk repeats its last frame, so
-    frames_processed — the throughput denominator — is a chunk multiple).
+    excluded when ``warmup``). frames_processed counts REAL steps only:
+    the tail chunk pads by repeating its last frame and the device does
+    compute those pad steps inside the timed wall, so a non-chunk-aligned
+    sequence slightly UNDERSTATES pipeline step rate — never overstates
+    it (round-5 honesty fix: the old chunk-multiple denominator inflated
+    non-aligned course FPS by the pad fraction).
     With ``collect_tracks``, a fifth element: the per-frame TrackSnapshot
     list (numpy, frame i+1's snapshot at index i — the
     smooth_trajectory_ba input contract), emitted by the scan itself at
@@ -787,8 +791,8 @@ def run_sequence_scan(
         stacked = jax.tree.map(lambda *xs: np.concatenate(xs)[:n],
                                *track_list)
         snapshots = [jax.tree.map(lambda x: x[i], stacked) for i in range(n)]
-        return poses, fetched, wall, len(outs) * chunk, snapshots
-    return poses, fetched, wall, len(outs) * chunk
+        return poses, fetched, wall, n, snapshots
+    return poses, fetched, wall, n
 
 
 def restore_scan_state(config: VOConfig, intrinsics: CameraIntrinsics,
